@@ -1,0 +1,296 @@
+"""RNS negacyclic polynomial ring Z_q[X]/(X^N+1) on uint32 limbs.
+
+This is the TPU-native rebuild of the reference's L0 substrate (lattigo
+`ring.Ring`: NTT/InvNTT with precomputed psi tables, Montgomery pointwise
+ops, automorphisms — see SURVEY.md §1 L0 and §2.2). Polynomials are dense
+uint32 arrays of shape (..., L, N): limbs on the sublane axis, coefficients
+on the lane axis. Every op is batched over leading axes (party, digit, ...).
+
+NTT uses the classic Cooley-Tukey (forward, standard -> bit-reversed order)
+and Gentleman-Sande (inverse) butterflies with Shoup-precomputed twiddles;
+all polynomials in "NTT domain" throughout the framework are in bit-reversed
+evaluation order, slot j holding the evaluation at psi^(2*brv(j)+1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import modmath as mm
+from .primes import primitive_root_2n, bit_reverse
+
+U32 = jnp.uint32
+
+
+def _host_tables(moduli: Tuple[int, ...], logn: int):
+    """Build all per-limb constant tables with exact python ints."""
+    n = 1 << logn
+    L = len(moduli)
+    q = np.array(moduli, dtype=np.uint32)
+    qinv_neg = np.empty(L, np.uint32)
+    r2 = np.empty(L, np.uint32)
+    bar = np.empty(L, np.uint32)
+    psi = np.empty((L, n), np.uint32)
+    psi_sh = np.empty((L, n), np.uint32)
+    ipsi = np.empty((L, n), np.uint32)
+    ipsi_sh = np.empty((L, n), np.uint32)
+    ninv = np.empty(L, np.uint32)
+    ninv_sh = np.empty(L, np.uint32)
+    for i, qi in enumerate(moduli):
+        qinv_neg[i], r2[i] = mm.mont_constants(qi)
+        bar[i] = mm.barrett_constant(qi)
+        root = primitive_root_2n(qi, logn)
+        iroot = pow(root, -1, qi)
+        # Psi[j] = psi^brv(j), IPsi[j] = psi^{-brv(j)}
+        pw = 1
+        ipw = 1
+        fwd = np.empty(n, np.uint64)
+        inv = np.empty(n, np.uint64)
+        for j in range(n):
+            fwd[j] = pw
+            inv[j] = ipw
+            pw = pw * root % qi
+            ipw = ipw * iroot % qi
+        brv = np.array([bit_reverse(j, logn) for j in range(n)])
+        psi[i] = fwd[brv].astype(np.uint32)
+        ipsi[i] = inv[brv].astype(np.uint32)
+        psi_sh[i] = ((psi[i].astype(object) << 32) // qi).astype(np.uint32)
+        ipsi_sh[i] = ((ipsi[i].astype(object) << 32) // qi).astype(np.uint32)
+        nv = pow(n, -1, qi)
+        ninv[i] = nv
+        ninv_sh[i] = (nv << 32) // qi
+    return dict(q=q, qinv_neg=qinv_neg, r2=r2, bar=bar, psi=psi,
+                psi_sh=psi_sh, ipsi=ipsi, ipsi_sh=ipsi_sh, ninv=ninv,
+                ninv_sh=ninv_sh)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["q", "qinv_neg", "r2", "bar", "psi", "psi_sh", "ipsi",
+                 "ipsi_sh", "ninv", "ninv_sh"],
+    meta_fields=["moduli", "logn"],
+)
+@dataclasses.dataclass(frozen=True)
+class Ring:
+    """An RNS ring over a tuple of uint32 NTT-friendly primes.
+
+    All array members have leading limb axis L == len(moduli); constants are
+    shape (L,), NTT tables (L, N). A Ring is a jax pytree: it can be passed
+    through jit, with (moduli, logn) as static metadata.
+    """
+    moduli: Tuple[int, ...]
+    logn: int
+    q: jax.Array
+    qinv_neg: jax.Array
+    r2: jax.Array
+    bar: jax.Array
+    psi: jax.Array
+    psi_sh: jax.Array
+    ipsi: jax.Array
+    ipsi_sh: jax.Array
+    ninv: jax.Array
+    ninv_sh: jax.Array
+
+    # -- construction -------------------------------------------------------
+
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def create(moduli: Tuple[int, ...], logn: int) -> "Ring":
+        t = _host_tables(tuple(moduli), logn)
+        return Ring(moduli=tuple(moduli), logn=logn,
+                    **{k: jnp.asarray(v) for k, v in t.items()})
+
+    @property
+    def n(self) -> int:
+        return 1 << self.logn
+
+    @property
+    def nlimbs(self) -> int:
+        return len(self.moduli)
+
+    def take(self, lo: int, hi: int) -> "Ring":
+        """Sub-ring over moduli[lo:hi] (cheap jnp slices; jit-safe)."""
+        return Ring(moduli=self.moduli[lo:hi], logn=self.logn,
+                    q=self.q[lo:hi], qinv_neg=self.qinv_neg[lo:hi],
+                    r2=self.r2[lo:hi], bar=self.bar[lo:hi],
+                    psi=self.psi[lo:hi], psi_sh=self.psi_sh[lo:hi],
+                    ipsi=self.ipsi[lo:hi], ipsi_sh=self.ipsi_sh[lo:hi],
+                    ninv=self.ninv[lo:hi], ninv_sh=self.ninv_sh[lo:hi])
+
+    def concat(self, other: "Ring") -> "Ring":
+        """Ring over moduli ++ other.moduli (the QP ring trick: since every
+        op is limb-wise, Q and P parts ride through one batched call)."""
+        assert self.logn == other.logn
+        cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+        return Ring(moduli=self.moduli + other.moduli, logn=self.logn,
+                    q=cat(self.q, other.q),
+                    qinv_neg=cat(self.qinv_neg, other.qinv_neg),
+                    r2=cat(self.r2, other.r2), bar=cat(self.bar, other.bar),
+                    psi=cat(self.psi, other.psi),
+                    psi_sh=cat(self.psi_sh, other.psi_sh),
+                    ipsi=cat(self.ipsi, other.ipsi),
+                    ipsi_sh=cat(self.ipsi_sh, other.ipsi_sh),
+                    ninv=cat(self.ninv, other.ninv),
+                    ninv_sh=cat(self.ninv_sh, other.ninv_sh))
+
+    # -- broadcast helpers --------------------------------------------------
+
+    def _c(self, arr):
+        """Reshape a (L,) constant for broadcasting against (..., L, N)."""
+        return arr[:, None]
+
+    # -- pointwise ops (all accept (..., L, N), canonical in [0, q)) --------
+
+    def zero(self, *batch) -> jax.Array:
+        return jnp.zeros((*batch, self.nlimbs, self.n), U32)
+
+    def add(self, a, b):
+        return mm.add_mod(a, b, self._c(self.q))
+
+    def sub(self, a, b):
+        return mm.sub_mod(a, b, self._c(self.q))
+
+    def neg(self, a):
+        return mm.neg_mod(a, self._c(self.q))
+
+    def reduce(self, a):
+        """Barrett-reduce arbitrary u32 values to canonical [0, q)."""
+        return mm.barrett_reduce(a, self._c(self.q), self._c(self.bar))
+
+    def mul_mont(self, a, b):
+        """a * b * 2^-32 mod q; b in Montgomery form (key material)."""
+        return mm.mont_mul(a, b, self._c(self.q), self._c(self.qinv_neg))
+
+    def to_mont(self, a):
+        return mm.to_mont(a, self._c(self.q), self._c(self.qinv_neg),
+                          self._c(self.r2))
+
+    def from_mont(self, a):
+        return mm.from_mont(a, self._c(self.q), self._c(self.qinv_neg))
+
+    def mul_scalar_mont(self, a, s_mont):
+        """Multiply by per-limb scalars in Montgomery form, shape (L,)."""
+        return mm.mont_mul(a, self._c(s_mont), self._c(self.q),
+                           self._c(self.qinv_neg))
+
+    # -- NTT ----------------------------------------------------------------
+
+    def ntt(self, a, reduce_input: bool = False):
+        """Forward negacyclic NTT, batched over (..., L, N).
+
+        Input standard coefficient order, output bit-reversed evaluation
+        order. If reduce_input, inputs may be any u32 (lazy) and are
+        Barrett-reduced first.
+        """
+        if reduce_input:
+            a = self.reduce(a)
+        n = self.n
+        q = self._c(self.q)
+        batch = a.shape[:-2]
+        L = a.shape[-2]
+        t = n
+        m = 1
+        while m < n:
+            t //= 2
+            x = a.reshape(*batch, L, m, 2, t)
+            u = x[..., 0, :]
+            v = x[..., 1, :]
+            s = self.psi[:, m:2 * m].reshape(L, m, 1)
+            s_sh = self.psi_sh[:, m:2 * m].reshape(L, m, 1)
+            qq = q[..., None]
+            vs = mm.shoup_mul(v, s, s_sh, qq)
+            a = jnp.stack([mm.add_mod(u, vs, qq), mm.sub_mod(u, vs, qq)],
+                          axis=-2).reshape(*batch, L, n)
+            m *= 2
+        return a
+
+    def intt(self, a, reduce_input: bool = False):
+        """Inverse negacyclic NTT (bit-reversed in, standard out)."""
+        if reduce_input:
+            a = self.reduce(a)
+        n = self.n
+        q = self._c(self.q)
+        batch = a.shape[:-2]
+        L = a.shape[-2]
+        t = 1
+        m = n
+        while m > 1:
+            h = m // 2
+            x = a.reshape(*batch, L, h, 2, t)
+            u = x[..., 0, :]
+            v = x[..., 1, :]
+            s = self.ipsi[:, h:2 * h].reshape(L, h, 1)
+            s_sh = self.ipsi_sh[:, h:2 * h].reshape(L, h, 1)
+            qq = q[..., None]
+            a = jnp.stack(
+                [mm.add_mod(u, v, qq),
+                 mm.shoup_mul(mm.sub_mod(u, v, qq), s, s_sh, qq)],
+                axis=-2).reshape(*batch, L, n)
+            t *= 2
+            m = h
+        return mm.shoup_mul(a, self._c(self.ninv), self._c(self.ninv_sh), q)
+
+    # -- automorphisms ------------------------------------------------------
+
+    def permute_coeffs(self, a, gal: int):
+        """Apply X -> X^gal to coefficient-domain polys (..., L, N)."""
+        src, sign = _coeff_perm_host(self.logn, gal)
+        g = jnp.take(a, src, axis=-1)
+        return jnp.where(sign[None, :] == 1,
+                         mm.neg_mod(g, self._c(self.q)), g)
+
+    def permute_ntt(self, a, gal: int):
+        """Apply X -> X^gal to NTT-domain polys (pure gather, no signs)."""
+        pi = _ntt_perm_host(self.logn, gal)
+        return jnp.take(a, pi, axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _coeff_perm_host(logn: int, gal: int):
+    """Coefficient-domain Galois map X -> X^gal: returns (src_idx, sign)
+    arrays such that out[j] = (-1)^sign[j] * in[src_idx[j]].
+
+    Mirrors the inline permutation with sign fold in the reference's Rotate
+    (mkrlwe/keyswitch.go:266-296), as a precomputed gather.
+    """
+    n = 1 << logn
+    src = np.empty(n, np.int32)
+    sign = np.empty(n, np.uint32)
+    for i in range(n):
+        raw = i * gal
+        j = raw & (n - 1)
+        src[j] = i
+        sign[j] = (raw >> logn) & 1
+    return jnp.asarray(src), jnp.asarray(sign)
+
+
+@functools.lru_cache(maxsize=None)
+def _ntt_perm_host(logn: int, gal: int):
+    """NTT-domain (bit-reversed order) permutation for X -> X^gal:
+    out[j] = in[pi[j]]. Equivalent of lattigo ring.PermuteNTTIndex used at
+    mkrlwe/keygen.go:214-216."""
+    n = 1 << logn
+    brv = [bit_reverse(j, logn) for j in range(n)]
+    inv_slot = {2 * brv[j] + 1: j for j in range(n)}
+    pi = np.empty(n, np.int32)
+    for j in range(n):
+        e = 2 * brv[j] + 1
+        pi[j] = inv_slot[(e * gal) % (2 * n)]
+    return jnp.asarray(pi)
+
+
+def galois_element_rot(k: int, n: int) -> int:
+    """Galois element for a rotation of the CKKS slots by k (generator 5),
+    matching lattigo's GaloisElementForColumnRotationBy."""
+    return pow(5, k, 2 * n)
+
+
+def galois_element_conj(n: int) -> int:
+    """Galois element for conjugation (row rotation): 2N - 1."""
+    return 2 * n - 1
