@@ -1,0 +1,230 @@
+"""Exact RNS basis extension, ModDown, gadget decomposition and rescaling.
+
+TPU-native rebuild of the reference's FastBasisExtender/Decomposer
+(mkrlwe/basis_extension.go, HPS eprint 2018/117) and of lattigo's
+DivRoundByLastModulusMany:
+
+  - mod_up: x in basis B -> x (+ small multiple-of-B slack) in basis D via
+    y_i = x_i * (B/b_i)^{-1} mod b_i; out_j = sum_i y_i * (B/b_i) - v*B
+    (mod d_j), with the correction v = floor(sum y_i / b_i) computed in
+    float32. An off-by-one in v (probability ~2^-20 per coefficient) adds
+    exactly +-B to the lifted integer, i.e. <= 1 ulp of extra noise after
+    the divisions that follow — the identical trade the reference makes
+    with float64 (basis_extension.go:499-517).
+  - mod_down: divide-and-round by P (the key-switch rescale).
+  - decompose: the KKLSS gadget digit expansion with gamma grouping; for
+    alpha == 1 each digit is a single-limb broadcast (the reference's
+    copy fast path, basis_extension.go:442-451).
+  - div_round_by_last_moduli: CKKS rescaling (exact, integer-only).
+
+All tables are precomputed host-side with python ints and stored as uint32
+device arrays inside pytree dataclasses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import modmath as mm
+from .ring import Ring
+
+U32 = jnp.uint32
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["qhat_inv_mont", "qhat_dst_mont", "vq_dst", "inv_b_f32"],
+    meta_fields=["src_moduli", "dst_moduli"],
+)
+@dataclasses.dataclass(frozen=True)
+class ModUpTables:
+    """Tables for exact base conversion from src basis B to dst basis D."""
+    src_moduli: Tuple[int, ...]
+    dst_moduli: Tuple[int, ...]
+    qhat_inv_mont: jax.Array   # (Ls,)  (B/b_i)^{-1} mod b_i, Montgomery
+    qhat_dst_mont: jax.Array   # (Ls, Ld)  B/b_i mod d_j, Montgomery
+    vq_dst: jax.Array          # (Ld, Ls+1)  v*B mod d_j for v = 0..Ls
+    inv_b_f32: jax.Array       # (Ls,) float32 1/b_i
+
+
+@functools.lru_cache(maxsize=None)
+def mod_up_tables(src: Tuple[int, ...], dst: Tuple[int, ...]) -> ModUpTables:
+    B = 1
+    for b in src:
+        B *= b
+    ls, ld = len(src), len(dst)
+    qhat_inv = np.empty(ls, np.uint32)
+    qhat_dst = np.empty((ls, ld), np.uint32)
+    for i, bi in enumerate(src):
+        bhat = B // bi
+        qhat_inv[i] = mm.to_mont_host(pow(bhat % bi, -1, bi), bi)
+        for j, dj in enumerate(dst):
+            qhat_dst[i, j] = mm.to_mont_host(bhat % dj, dj)
+    vq = np.empty((ld, ls + 1), np.uint32)
+    for j, dj in enumerate(dst):
+        for v in range(ls + 1):
+            vq[j, v] = (v * B) % dj
+    return ModUpTables(
+        src_moduli=src, dst_moduli=dst,
+        qhat_inv_mont=jnp.asarray(qhat_inv),
+        qhat_dst_mont=jnp.asarray(qhat_dst),
+        vq_dst=jnp.asarray(vq),
+        inv_b_f32=jnp.asarray(1.0 / np.array(src, np.float64),
+                              dtype=jnp.float32))
+
+
+def mod_up(x, src_ring: Ring, dst_ring: Ring, tables: ModUpTables
+           ) -> jax.Array:
+    """Convert (..., Ls, N) in basis src to (..., Ld, N) in basis dst.
+
+    Output is canonical in [0, d_j). The lifted integer equals the input
+    representative in [0, B) up to a rare +-B (see module docstring).
+    """
+    ls = len(tables.src_moduli)
+    sq = src_ring.q[:, None]
+    sqinv = src_ring.qinv_neg[:, None]
+    # y_i = x_i * (B/b_i)^{-1} mod b_i  (canonical)
+    y = mm.mont_mul(x, tables.qhat_inv_mont[:, None], sq, sqinv)
+    # correction v = floor(sum y_i / b_i), float32
+    vf = jnp.sum(y.astype(jnp.float32) * tables.inv_b_f32[:, None],
+                 axis=-2)
+    v = jnp.floor(vf).astype(jnp.int32)
+    v = jnp.clip(v, 0, ls)
+    # acc_j = sum_i y_i * (B/b_i mod d_j)  in 64-bit, Montgomery-reduced
+    out_shape = (*y.shape[:-2], len(tables.dst_moduli), y.shape[-1])
+    acc = mm.mul_accum_init(out_shape)
+    for i in range(ls):
+        acc = mm.mul_accum_step(acc, y[..., i:i + 1, :],
+                                tables.qhat_dst_mont[i][:, None])
+    dq = dst_ring.q[:, None]
+    r = mm.mont_reduce_wide(acc[0], acc[1], dq, dst_ring.qinv_neg[:, None])
+    r = mm.barrett_reduce(r, dq, dst_ring.bar[:, None])
+    # subtract v*B mod d_j  (table lookup over v in [0, Ls])
+    corr = jnp.moveaxis(tables.vq_dst[:, v], 0, -2)  # (..., Ld, N)
+    return mm.sub_mod(r, corr, dq)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["pinv_mont"],
+    meta_fields=["q_moduli", "p_moduli"],
+)
+@dataclasses.dataclass(frozen=True)
+class ModDownTables:
+    q_moduli: Tuple[int, ...]
+    p_moduli: Tuple[int, ...]
+    pinv_mont: jax.Array  # (Lq,)  P^{-1} mod q_j, Montgomery form
+
+
+@functools.lru_cache(maxsize=None)
+def mod_down_tables(qm: Tuple[int, ...], pm: Tuple[int, ...]) -> ModDownTables:
+    P = 1
+    for p in pm:
+        P *= p
+    pinv = np.array([mm.to_mont_host(pow(P % q, -1, q), q) for q in qm],
+                    np.uint32)
+    return ModDownTables(q_moduli=qm, p_moduli=pm,
+                         pinv_mont=jnp.asarray(pinv))
+
+
+def mod_down(xq, xp, ring_q: Ring, ring_p: Ring) -> jax.Array:
+    """Divide-and-round by P: (xq, xp) in basis QP -> round(x/P) in basis Q.
+
+    Mirrors FastBasisExtender.ModDownQPtoQ (basis_extension.go:192-232):
+    out = (xq - ModUp_PtoQ(xp)) * P^{-1} mod q. The rounding error is the
+    centered representative of (x mod P), magnitude <= P/2 -> |err| <= 1/2
+    plus the rare mod_up slack.
+    """
+    t_up = mod_up_tables(ring_p.moduli, ring_q.moduli)
+    t_dn = mod_down_tables(ring_q.moduli, ring_p.moduli)
+    conv = mod_up(xp, ring_p, ring_q, t_up)
+    diff = ring_q.sub(xq, conv)
+    return ring_q.mul_scalar_mont(diff, t_dn.pinv_mont)
+
+
+# ----------------------------------------------------------------------------
+# Gadget decomposition (KKLSS / RNS-CRT gadget with gamma grouping)
+# ----------------------------------------------------------------------------
+
+def decompose_digits(x, ring_q: Ring, ring_qp: Ring, alpha: int
+                     ) -> jax.Array:
+    """Decompose (..., Lq, N) coeff-domain poly into gadget digits
+    (..., beta, Lqp, N), beta = ceil(Lq/alpha), each digit reduced into the
+    full QP basis, coefficient domain (caller NTTs them).
+
+    For alpha == 1 (the configuration used by all CKKS/BFV parameter sets
+    here, matching gamma s.t. PCount/gamma == 1 in the reference's
+    params.Alpha()), digit d is the raw limb-d residue broadcast to every
+    target limb — the reference's copy fast path
+    (basis_extension.go:442-451); values may exceed the target modulus and
+    are reduced lazily downstream.
+    """
+    lq = x.shape[-2]
+    beta = -(-lq // alpha)
+    if alpha == 1:
+        digits = jnp.broadcast_to(
+            x[..., :, None, :],
+            (*x.shape[:-2], lq, len(ring_qp.moduli), x.shape[-1]))
+        return digits
+    outs = []
+    for d in range(beta):
+        lo, hi = d * alpha, min((d + 1) * alpha, lq)
+        src = ring_q.take(lo, hi)
+        t = mod_up_tables(ring_q.moduli[lo:hi], ring_qp.moduli)
+        outs.append(mod_up(x[..., lo:hi, :], src, ring_qp, t))
+    return jnp.stack(outs, axis=-3)
+
+
+# ----------------------------------------------------------------------------
+# CKKS rescaling: exact divide-and-round by the last nb moduli
+# ----------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _rescale_consts(moduli: Tuple[int, ...], nb: int):
+    """For each of the nb dropped limbs (from the top), precompute
+    (half mod q_j for remaining j, half mod q_last, q_last^{-1} mont)."""
+    steps = []
+    mods = list(moduli)
+    for _ in range(nb):
+        ql = mods[-1]
+        mods = mods[:-1]
+        half = ql >> 1
+        half_rem = np.array([half % q for q in mods], np.uint32)
+        qlinv = np.array([mm.to_mont_host(pow(ql % q, -1, q), q)
+                          for q in mods], np.uint32)
+        steps.append((np.uint32(half), jnp.asarray(half_rem),
+                      jnp.asarray(qlinv)))
+    return steps
+
+
+def div_round_by_last_moduli(x, ring_q: Ring, nb: int):
+    """round(x / (q_{L-nb+1} * ... * q_L)) on (..., L, N) coeff-domain polys.
+    Returns (..., L-nb, N). Equivalent of lattigo's
+    DivRoundByLastModulusManyLvl used by Rescale (mkckks/evaluator.go:388).
+    """
+    steps = _rescale_consts(ring_q.moduli, nb)
+    cur = x
+    mods = ring_q
+    for half, half_rem, qlinv in steps:
+        L = cur.shape[-2]
+        last_q = np.uint32(mods.moduli[L - 1])
+        last = cur[..., L - 1, :]
+        # x~ = x + half (integer add, done per-limb)
+        last_t = mm.add_mod(last, half, last_q)
+        rem_ring = mods.take(0, L - 1)
+        rest = mm.add_mod(cur[..., :L - 1, :], half_rem[:, None],
+                          rem_ring.q[:, None])
+        # r = x~ mod q_last, reduced into each remaining limb
+        r = mm.barrett_reduce(last_t[..., None, :], rem_ring.q[:, None],
+                              rem_ring.bar[:, None])
+        diff = mm.sub_mod(rest, r, rem_ring.q[:, None])
+        cur = mm.mont_mul(diff, qlinv[:, None], rem_ring.q[:, None],
+                          rem_ring.qinv_neg[:, None])
+        mods = rem_ring
+    return cur
