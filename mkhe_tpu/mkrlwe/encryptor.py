@@ -1,0 +1,54 @@
+"""Single-party RLWE public-key encryption producing 2-component multi-key
+ciphertexts (TPU rebuild of mkrlwe/encryptor.go:55-118):
+
+    ct = { "0": u*pk0 + e0 + m,   id: u*pk1 + e1 }
+
+with ternary u and gaussian e0, e1; output in coefficient domain.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import sampling
+from .params import Parameters
+from .elements import Ciphertext
+from .keys import PublicKey
+
+
+class Encryptor:
+    def __init__(self, params: Parameters, seed: int = 2):
+        self.params = params
+        self._key = jax.random.key(seed)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def encrypt(self, plaintext: Optional[jax.Array], pk: PublicKey,
+                level: Optional[int] = None) -> Ciphertext:
+        """plaintext: coeff-domain (Lq_level, N) uint32 (or None for an
+        encryption of zero). Returns a fresh 2-component ciphertext."""
+        p = self.params
+        if level is None:
+            level = (plaintext.shape[-2] - 1 if plaintext is not None
+                     else p.max_level)
+        ring = p.ring_q_at(level)
+
+        u = sampling.ternary_rns(self._next_key(), ring)
+        u_ntt = ring.ntt(u)
+        pk0 = pk.data[0, :level + 1]
+        pk1 = pk.data[1, :level + 1]
+        c0 = ring.intt(ring.mul_mont(u_ntt, pk0))
+        c1 = ring.intt(ring.mul_mont(u_ntt, pk1))
+
+        e0 = sampling.gaussian_rns(self._next_key(), ring, sigma=p.sigma)
+        e1 = sampling.gaussian_rns(self._next_key(), ring, sigma=p.sigma)
+        c0 = ring.add(c0, e0)
+        c1 = ring.add(c1, e1)
+        if plaintext is not None:
+            c0 = ring.add(c0, plaintext)
+        return Ciphertext(ids=(pk.id,), data=jnp.stack([c0, c1]))

@@ -1,0 +1,252 @@
+"""Gadget decomposition, external products, and the KKLSS multi-key
+multiply-relinearize / rotate / conjugate (TPU rebuild of
+mkrlwe/keyswitch.go and keyswitch_hoisted.go).
+
+Every per-party Go loop becomes a batched array op over a party axis; the
+digit (beta) reductions run as 64-bit accumulate + one Montgomery reduction
+per output limb, mirroring the reference's uint128 accumulation strategy
+(basis_extension.go:582-646) in the 32-bit world.
+
+Deviation from the reference (documented): where the reference computes
+per-party ModDown(InvNTT(.)) and then sums (keyswitch.go:220-229), we sum
+the NTT-domain partial products across parties first and ModDown once —
+algebraically identical up to <= k half-ulp rounding differences, and it
+saves k-1 InvNTT+ModDown passes. This is also the natural point to psum
+partial products when the party axis is sharded across devices.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import modmath as mm
+from ..ops import basis
+from ..ops.ring import Ring, galois_element_rot, galois_element_conj
+from .params import Parameters
+from .elements import Ciphertext, HoistedCiphertext, union_ids, new_ciphertext
+
+U32 = jnp.uint32
+
+
+# ----------------------------------------------------------------------------
+# Decomposition
+# ----------------------------------------------------------------------------
+
+def decompose(params: Parameters, x: jax.Array, level: int) -> jax.Array:
+    """Gadget-decompose coeff-domain (..., level+1, N) polys into NTT-domain
+    digits (..., beta, Lqp, N). Reference: KeySwitcher.Decompose
+    (keyswitch.go:49-73)."""
+    ring_q = params.ring_q_at(level)
+    ring_qp = params.ring_qp_at(level)
+    digits = basis.decompose_digits(x, ring_q, ring_qp, params.alpha)
+    # alpha==1 digits are raw-residue broadcasts (lazy vs target modulus)
+    return ring_qp.ntt(digits, reduce_input=(params.alpha == 1))
+
+
+def slice_swk(params: Parameters, swk: jax.Array, level: int) -> jax.Array:
+    """Slice a (…, beta_max, Lq+Lp, N) switching key to the given level."""
+    if level == params.max_level:
+        return swk
+    beta = params.beta(level)
+    sel = params.qp_limb_index(level)
+    return swk[..., :beta, :, :][..., sel, :]
+
+
+# ----------------------------------------------------------------------------
+# External products
+# ----------------------------------------------------------------------------
+
+def _accum_digits(digits: jax.Array, swk: jax.Array) -> jax.Array:
+    """sum_beta digits[..., b, :, :] * swk[..., b, :, :] with 64-bit
+    accumulation; returns the raw (hi, lo) pair."""
+    beta = digits.shape[-3]
+    shape = jnp.broadcast_shapes(digits.shape, swk.shape)
+    acc = mm.mul_accum_init(shape[:-3] + shape[-2:])
+    for i in range(beta):
+        acc = mm.mul_accum_step(acc, digits[..., i, :, :], swk[..., i, :, :])
+    return acc
+
+
+def _reduce_qp(acc, ring_qp: Ring) -> jax.Array:
+    hi, lo = acc
+    q = ring_qp.q[:, None]
+    r = mm.mont_reduce_wide(hi, lo, q, ring_qp.qinv_neg[:, None])
+    return r  # lazy, < sum/2^32 + q
+
+
+def external_product_ntt(params: Parameters, digits: jax.Array,
+                         swk: jax.Array, level: int) -> jax.Array:
+    """Inner product sum_b digits_b * swk_b, still NTT domain over QP,
+    canonically reduced. digits (..., beta, Lqp, N) plain NTT values;
+    swk Montgomery NTT."""
+    ring_qp = params.ring_qp_at(level)
+    r = _reduce_qp(_accum_digits(digits, swk), ring_qp)
+    return ring_qp.reduce(r)
+
+
+def mod_down_qp(params: Parameters, c_qp: jax.Array, level: int) -> jax.Array:
+    """InvNTT + divide-and-round by P: (..., Lqp, N) NTT -> (..., Lq, N)
+    coeff domain (the tail of ExternalProduct, keyswitch.go:112-117)."""
+    ring_qp = params.ring_qp_at(level)
+    lq = level + 1
+    c = ring_qp.intt(c_qp, reduce_input=True)
+    return basis.mod_down(c[..., :lq, :], c[..., lq:, :],
+                          params.ring_q_at(level), params.ring_p)
+
+
+def external_product(params: Parameters, digits: jax.Array, swk: jax.Array,
+                     level: int) -> jax.Array:
+    """Full external product: digits (NTT) x swk -> coeff-domain (..., Lq, N).
+    Reference: KeySwitcher.ExternalProduct / ExternalProductHoisted."""
+    return mod_down_qp(
+        params, external_product_ntt(params, digits, swk, level), level)
+
+
+def _sum_parties_ntt(params: Parameters, digits: jax.Array, swks: jax.Array,
+                     level: int) -> jax.Array:
+    """sum_k sum_b digits[k, b] * swk[k, b] reduced canonically over QP,
+    NTT domain. digits (..., k, beta, Lqp, N), swks broadcastable."""
+    ring_qp = params.ring_qp_at(level)
+    k = digits.shape[-4]
+    out = None
+    for i in range(k):
+        r = ring_qp.reduce(_reduce_qp(
+            _accum_digits(digits[..., i, :, :, :], swks[..., i, :, :, :]),
+            ring_qp))
+        out = r if out is None else ring_qp.add(out, r)
+    return out
+
+
+# ----------------------------------------------------------------------------
+# Hoisting
+# ----------------------------------------------------------------------------
+
+def hoisted_form(params: Parameters, ct: Ciphertext) -> HoistedCiphertext:
+    """Precompute gadget decompositions of all party polys
+    (Evaluator.HoistedForm, mkckks/evaluator.go:543-553)."""
+    return HoistedCiphertext(
+        ids=ct.ids, digits=decompose(params, ct.data[1:], ct.level))
+
+
+# ----------------------------------------------------------------------------
+# MulAndRelin
+# ----------------------------------------------------------------------------
+
+def mul_and_relin(params: Parameters, ct0: Ciphertext, ct1: Ciphertext,
+                  rlk_set, level: int,
+                  h0: Optional[HoistedCiphertext] = None,
+                  h1: Optional[HoistedCiphertext] = None) -> Ciphertext:
+    """The KKLSS multi-key multiplication with relinearization
+    (keyswitch.go:122-230 / keyswitch_hoisted.go:44-179):
+
+      x = MForm(sum_i d_i . Dec(ct0_i)),  y = MForm(sum_i b_i . Dec(ct1_i))
+      out_0 = ct0_0 * ct1_0
+      out_j = ct0_0 * ct1_j + ct0_j * ct1_0          (tensor terms)
+      out_j += Ext(ct1_j, x)                          j in ids1
+      t_i   = Ext(ct0_i, y)                           i in ids0
+      out_0 += Ext(Dec(t_i), v_i);  out_i += Ext(Dec(t_i), u)
+    """
+    ids0, ids1 = ct0.ids, ct1.ids
+    ids = union_ids(ids0, ids1)
+    ring_q = params.ring_q_at(level)
+
+    d0 = ct0.data[..., :level + 1, :]
+    d1 = ct1.data[..., :level + 1, :]
+
+    dec0 = h0.digits if h0 is not None else decompose(params, d0[1:], level)
+    dec1 = h1.digits if h1 is not None else decompose(params, d1[1:], level)
+
+    b_all, d_all, v_all = rlk_set.stacked(ids)
+    sel0 = np.array([ids.index(i) for i in ids0])
+    sel1 = np.array([ids.index(i) for i in ids1])
+    d_keys = slice_swk(params, d_all[sel0], level)
+    b_keys = slice_swk(params, b_all[sel1], level)
+    v_keys = slice_swk(params, v_all[sel0], level)
+    u_key = params.crs_at(-1, level)
+
+    ring_qp = params.ring_qp_at(level)
+    x = ring_qp.to_mont(_sum_parties_ntt(params, dec0, d_keys, level))
+    y = ring_qp.to_mont(_sum_parties_ntt(params, dec1, b_keys, level))
+
+    # tensor terms (NTT over Q limbs only)
+    nt0 = ring_q.ntt(d0)
+    nt1 = ring_q.ntt(d1)
+    nt0_0m = ring_q.to_mont(nt0[0])
+    nt1_0m = ring_q.to_mont(nt1[0])
+
+    out = [None] * (len(ids) + 1)
+    out[0] = ring_q.mul_mont(nt1[0], nt0_0m)
+    for j, pid in enumerate(ids):
+        acc = None
+        if pid in ids0:
+            acc = ring_q.mul_mont(nt0[1 + ids0.index(pid)], nt1_0m)
+        if pid in ids1:
+            t = ring_q.mul_mont(nt1[1 + ids1.index(pid)], nt0_0m)
+            acc = t if acc is None else ring_q.add(acc, t)
+        out[1 + j] = acc
+    out_arr = ring_q.intt(jnp.stack(out))
+
+    # out_j += Ext(ct1_j, x)   (batched over ids1)
+    z1 = external_product(params, dec1, x, level)  # (k1, Lq, N)
+    out_arr = out_arr.at[1 + sel1].set(
+        ring_q.add(out_arr[1 + sel1], z1))
+
+    # t_i = Ext(ct0_i, y); out_0 += Ext(Dec t_i, v_i); out_i += Ext(Dec t_i, u)
+    t = external_product(params, dec0, y, level)   # (k0, Lq, N)
+    dec_t = decompose(params, t, level)            # (k0, beta, Lqp, N)
+    v_sum = mod_down_qp(
+        params, _sum_parties_ntt(params, dec_t, v_keys, level), level)
+    out_arr = out_arr.at[0].set(ring_q.add(out_arr[0], v_sum))
+    zu = external_product(params, dec_t, u_key, level)
+    out_arr = out_arr.at[1 + sel0].set(
+        ring_q.add(out_arr[1 + sel0], zu))
+
+    return Ciphertext(ids=ids, data=out_arr)
+
+
+# ----------------------------------------------------------------------------
+# Rotate / Conjugate
+# ----------------------------------------------------------------------------
+
+def rotate(params: Parameters, ct: Ciphertext, rot_idx: int, rtk_set,
+           h: Optional[HoistedCiphertext] = None) -> Ciphertext:
+    """Slot rotation (keyswitch.go:234-298 / RotateHoisted):
+      out_0 = ct_0 + sum_i Ext(ct_i, rtk_i);  out_i = Ext(ct_i, a_rot)
+      then apply the coefficient-domain Galois map X -> X^g with sign fold.
+    """
+    level = ct.level
+    while rot_idx < 0:
+        rot_idx += params.n // 2
+    ring_q = params.ring_q_at(level)
+    dec = h.digits if h is not None else decompose(params, ct.data[1:], level)
+    rks = slice_swk(params, rtk_set.stacked(ct.ids, rot_idx), level)
+    a = params.crs_at(rot_idx, level)
+
+    c0 = ring_q.add(ct.data[0], mod_down_qp(
+        params, _sum_parties_ntt(params, dec, rks, level), level))
+    ci = external_product(params, dec, a, level)
+    out = jnp.concatenate([c0[None], ci], axis=0)
+
+    gal = galois_element_rot(rot_idx, params.n)
+    out = ring_q.permute_coeffs(out, gal)
+    return Ciphertext(ids=ct.ids, data=out)
+
+
+def conjugate(params: Parameters, ct: Ciphertext, cjk_set) -> Ciphertext:
+    """Conjugation (keyswitch.go:302-332): permute first, then key-switch."""
+    level = ct.level
+    ring_q = params.ring_q_at(level)
+    gal = galois_element_conj(params.n)
+    permuted = ring_q.permute_coeffs(ct.data, gal)
+    dec = decompose(params, permuted[1:], level)
+    cks = slice_swk(params, cjk_set.stacked(ct.ids), level)
+    a = params.crs_at(-2, level)
+    c0 = ring_q.add(permuted[0], mod_down_qp(
+        params, _sum_parties_ntt(params, dec, cks, level), level))
+    ci = external_product(params, dec, a, level)
+    return Ciphertext(ids=ct.ids,
+                      data=jnp.concatenate([c0[None], ci], axis=0))

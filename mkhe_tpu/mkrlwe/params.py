@@ -1,0 +1,151 @@
+"""Multi-key RLWE parameters with common reference strings (CRS).
+
+TPU rebuild of mkrlwe/params.go:8-99: extends plain RLWE parameters with
+the gadget parameter gamma and a dictionary of CRS switching keys (uniform
+polynomial vectors in NTT+Montgomery form) at indices
+  0, -1 (relin), -2 (conjugation), -3, -4 (BFV relin), 2^i (rotations).
+
+Unlike the reference (which draws CRS from a process-local PRNG), the CRS
+here derives deterministically from a public seed, so independently
+constructed Parameters agree — the actual contract a multi-party
+deployment needs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.ring import Ring
+from ..ops import sampling
+
+U32 = jnp.uint32
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["ring_q", "ring_p", "ring_qp", "crs", "pmodq_mont"],
+    meta_fields=["logn", "q_moduli", "p_moduli", "gamma", "sigma",
+                 "crs_seed"],
+)
+@dataclasses.dataclass(frozen=True)
+class Parameters:
+    logn: int
+    q_moduli: Tuple[int, ...]
+    p_moduli: Tuple[int, ...]
+    gamma: int
+    sigma: float
+    crs_seed: int
+    ring_q: Ring
+    ring_p: Ring
+    ring_qp: Ring
+    crs: Dict[int, jax.Array]   # idx -> (beta, Lq+Lp, N) NTT+Mont domain
+    pmodq_mont: jax.Array       # (Lq,) P mod q_j in Montgomery form
+
+    # -- derived sizes ------------------------------------------------------
+
+    @property
+    def n(self) -> int:
+        return 1 << self.logn
+
+    @property
+    def qcount(self) -> int:
+        return len(self.q_moduli)
+
+    @property
+    def pcount(self) -> int:
+        return len(self.p_moduli)
+
+    @property
+    def max_level(self) -> int:
+        return self.qcount - 1
+
+    @property
+    def alpha(self) -> int:
+        """Limbs per gadget digit (params.Alpha(), mkrlwe/params.go:63-65)."""
+        return max(1, self.pcount // self.gamma)
+
+    def beta(self, level: int) -> int:
+        """Digit count at a given level (params.Beta, mkrlwe/params.go:67)."""
+        return -(-(level + 1) // self.alpha)
+
+    # -- level-sliced rings -------------------------------------------------
+
+    def ring_q_at(self, level: int) -> Ring:
+        return self.ring_q.take(0, level + 1)
+
+    def ring_qp_at(self, level: int) -> Ring:
+        return self.ring_q.take(0, level + 1).concat(self.ring_p)
+
+    def qp_limb_index(self, level: int) -> np.ndarray:
+        """Indices into the full (Lq+Lp) limb axis selecting the level's
+        Q limbs plus all P limbs (for slicing CRS / switching keys)."""
+        return np.concatenate([
+            np.arange(level + 1),
+            np.arange(self.qcount, self.qcount + self.pcount)])
+
+    def crs_at(self, idx: int, level: int) -> jax.Array:
+        """CRS for index idx, sliced to (beta(level), level+1+Lp, N)."""
+        a = self.crs[idx]
+        if level == self.max_level:
+            return a
+        sel = self.qp_limb_index(level)
+        return a[:self.beta(level)][:, sel, :]
+
+
+def _gen_crs(ring_qp: Ring, beta: int, seed: int, idx: int) -> jax.Array:
+    key = jax.random.fold_in(jax.random.key(seed), idx & 0xFFFFFFFF)
+    u = sampling.uniform(key, ring_qp, beta)
+    # store in Montgomery form (reference: MFormLvl at params.go:56); the
+    # uniform draw is already "NTT-domain" by fiat (uniform either way)
+    return ring_qp.to_mont(u)
+
+
+def new_parameters(logn: int,
+                   q_moduli: Tuple[int, ...],
+                   p_moduli: Tuple[int, ...],
+                   gamma: int,
+                   sigma: float = 3.2,
+                   crs_seed: int = 0x6d6b6865,
+                   extra_crs: Tuple[int, ...] = ()) -> Parameters:
+    ring_q = Ring.create(tuple(q_moduli), logn)
+    ring_p = Ring.create(tuple(p_moduli), logn)
+    ring_qp = ring_q.concat(ring_p)
+
+    pcount = len(p_moduli)
+    alpha = max(1, pcount // gamma)
+    beta_max = -(-len(q_moduli) // alpha)
+
+    idxs = [0, -1, -2, -3, -4]
+    idxs += [1 << i for i in range(logn - 1)]
+    idxs += list(extra_crs)
+    crs = {idx: _gen_crs(ring_qp, beta_max, crs_seed, idx) for idx in idxs}
+
+    P = 1
+    for p in p_moduli:
+        P *= p
+    from ..ops import modmath as mm
+    pmodq = np.array([mm.to_mont_host(P % q, q) for q in q_moduli],
+                     np.uint32)
+
+    return Parameters(
+        logn=logn, q_moduli=tuple(q_moduli), p_moduli=tuple(p_moduli),
+        gamma=gamma, sigma=sigma, crs_seed=crs_seed,
+        ring_q=ring_q, ring_p=ring_p, ring_qp=ring_qp, crs=crs,
+        pmodq_mont=jnp.asarray(pmodq))
+
+
+def add_crs(params: Parameters, idx: int) -> Parameters:
+    """Return Parameters extended with a CRS at idx (params.AddCRS,
+    mkrlwe/params.go:77-99)."""
+    if idx in params.crs:
+        return params
+    beta_max = params.beta(params.max_level)
+    crs = dict(params.crs)
+    crs[idx] = _gen_crs(params.ring_qp, beta_max, params.crs_seed, idx)
+    return dataclasses.replace(params, crs=crs)
