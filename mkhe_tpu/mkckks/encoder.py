@@ -1,0 +1,103 @@
+"""CKKS canonical-embedding encoder/decoder (host-side, numpy float64).
+
+Equivalent of lattigo's ckks.Encoder used by the reference at
+mkckks/encryptor.go:43 / decryptor.go:40. Slot j (j = 0..N/2-1) holds the
+evaluation of the plaintext polynomial at the primitive 2N-th complex root
+zeta^{g^j}, g = 5 — the same rotation-group ordering as the NTT-domain
+Galois machinery (ops/ring.py), so slot rotation by k corresponds to the
+Galois element 5^k on ciphertexts.
+
+The O(N log N) evaluation uses the twist trick: for any poly m,
+  m(zeta^{2t+1}) = DFT_N(m .* zeta^arange(N))[t],
+so a single length-N FFT covers all odd powers; the slot ordering is a
+gather on top.
+
+Decode reconstructs centered coefficients from the first two RNS limbs
+only: decrypted CKKS values have magnitude ~ scale * |message| << q0*q1
+(the first prime pair is the reference's ~60-bit q0), making the 2-limb CRT
+exact; a python-int full CRT fallback handles larger values.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..utils import crt
+
+
+@functools.lru_cache(maxsize=None)
+def _tables(logn: int):
+    n = 1 << logn
+    nh = n // 2
+    # slot j <-> odd exponent e_j = 5^j mod 2N ; conjugate at 2N - e_j
+    e = np.empty(nh, np.int64)
+    cur = 1
+    for j in range(nh):
+        e[j] = cur
+        cur = (cur * 5) % (2 * n)
+    t_pos = (e - 1) // 2          # index into odd-exponent vector
+    t_neg = (2 * n - e - 1) // 2
+    twist = np.exp(1j * np.pi * np.arange(n) / n)  # zeta^i
+    return e, t_pos, t_neg, twist
+
+
+def encode(values: np.ndarray, scale: float, moduli, logn: int
+           ) -> np.ndarray:
+    """complex slots (N/2,) -> uint32 RNS coeffs (L, N), scaled + rounded."""
+    n = 1 << logn
+    nh = n // 2
+    _, t_pos, t_neg, twist = _tables(logn)
+    z = np.asarray(values, np.complex128)
+    if z.shape[0] != nh:
+        full = np.zeros(nh, np.complex128)
+        full[:z.shape[0]] = z
+        z = full
+    ev = np.zeros(n, np.complex128)
+    ev[t_pos] = z
+    ev[t_neg] = np.conj(z)
+    v = np.fft.fft(ev) / n
+    m = np.real(v * np.conj(twist)) * scale
+    big = np.abs(m).max() if m.size else 0.0
+    if big < 2 ** 62:
+        mi = np.round(m).astype(np.int64)
+        L = len(moduli)
+        out = np.empty((L, n), np.uint32)
+        for i, q in enumerate(moduli):
+            out[i] = np.mod(mi, q).astype(np.uint32)
+        return out
+    # big-int fallback (reference: scaleUpVecExact big.Float path,
+    # mkckks/utils.go:97-119)
+    ints = [int(round(x)) for x in m]
+    return crt.to_rns(ints, moduli)
+
+
+def decode(poly: np.ndarray, scale: float, moduli, logn: int,
+           logslots: int | None = None, exact: bool = False) -> np.ndarray:
+    """uint32 RNS coeffs (L, N) -> complex slots (N/2,)."""
+    n = 1 << logn
+    nh = n // 2
+    _, t_pos, _, twist = _tables(logn)
+    L = poly.shape[0]
+    if exact or L == 1:
+        centered = crt.crt_center(poly[: min(L, len(moduli))],
+                                  tuple(moduli)[:L])
+        m = np.array([float(v) for v in centered], np.float64)
+    else:
+        # fast 2-limb CRT: exact while |value| < q0*q1/2
+        q0, q1 = int(moduli[0]), int(moduli[1])
+        qq = q0 * q1
+        inv = pow(q0, -1, q1)
+        x0 = poly[0].astype(np.int64)
+        x1 = poly[1].astype(np.int64)
+        k = ((x1 - x0) * inv) % q1
+        val = x0 + q0 * k
+        val = np.where(val > qq // 2, val - qq, val)
+        m = val.astype(np.float64)
+    v = (m / scale) * twist
+    ev = np.fft.ifft(v) * n
+    z = ev[t_pos]
+    if logslots is not None and (1 << logslots) < nh:
+        z = z[: 1 << logslots]
+    return z

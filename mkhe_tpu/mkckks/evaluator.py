@@ -1,0 +1,300 @@
+"""Multi-key CKKS evaluator (TPU rebuild of mkckks/evaluator.go).
+
+API mirrors the reference: add/sub with automatic id-set union and scale
+alignment, MultByConst, Rescale, MulRelin (+hoisted), MulPtxt, Rotate
+(+hoisted, with power-of-two decomposition fallback), Conjugate,
+HoistedForm, DropLevel. Heavy cores are jitted with (ids, level, nb) as
+static metadata, so each (party-set, level) pair compiles once and then
+runs fully on device.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import mkrlwe
+from ..mkrlwe import keyswitch as ksw
+from ..mkrlwe.elements import Ciphertext as RCt, union_ids
+from ..ops import basis
+from .params import Parameters
+from .elements import Ciphertext
+from . import encoder as enc
+
+
+# ----------------------------------------------------------------------------
+# jitted cores (module-level so the cache is shared across evaluators)
+# ----------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("map_a", "map_b"))
+def _add_core(rp, a_data, b_data, map_a, map_b):
+    ring = rp.ring_q_at(a_data.shape[-2] - 1)
+    out = []
+    for ia, ib in zip(map_a, map_b):
+        if ia >= 0 and ib >= 0:
+            out.append(ring.add(a_data[ia], b_data[ib]))
+        elif ia >= 0:
+            out.append(a_data[ia])
+        else:
+            out.append(b_data[ib])
+    return jnp.stack(out)
+
+
+@functools.partial(jax.jit, static_argnames=("map_a", "map_b"))
+def _sub_core(rp, a_data, b_data, map_a, map_b):
+    ring = rp.ring_q_at(a_data.shape[-2] - 1)
+    out = []
+    for ia, ib in zip(map_a, map_b):
+        if ia >= 0 and ib >= 0:
+            out.append(ring.sub(a_data[ia], b_data[ib]))
+        elif ia >= 0:
+            out.append(a_data[ia])
+        else:
+            out.append(ring.neg(b_data[ib]))
+    return jnp.stack(out)
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "si", "level"))
+def _mult_const_core(rp, data, sr, si, level):
+    """data * (sr + si*X^{N/2}) — multiplication by a scaled complex
+    constant in coefficient domain; X^{N/2} is the image of i."""
+    ring = rp.ring_q_at(level)
+    from ..ops import modmath as mm
+    out = None
+    if sr != 0:
+        s = jnp.asarray([mm.to_mont_host(sr % q, q)
+                         for q in ring.moduli], jnp.uint32)
+        out = ring.mul_scalar_mont(data, s)
+    if si != 0:
+        n = data.shape[-1]
+        rolled = jnp.roll(data, n // 2, axis=-1)
+        idx = jnp.arange(n) < n // 2
+        rolled = jnp.where(idx, ring.neg(rolled), rolled)
+        s = jnp.asarray([mm.to_mont_host(si % q, q)
+                         for q in ring.moduli], jnp.uint32)
+        term = ring.mul_scalar_mont(rolled, s)
+        out = term if out is None else ring.add(out, term)
+    return data if out is None else out
+
+
+@functools.partial(jax.jit, static_argnames=("nb",))
+def _rescale_core(rp, data, nb):
+    ring = rp.ring_q_at(data.shape[-2] - 1)
+    return basis.div_round_by_last_moduli(data, ring, nb)
+
+
+@functools.partial(jax.jit, static_argnames=("level", "use_h0", "use_h1"))
+def _mul_relin_core(rp, ct0, ct1, b, d, v, level, h0, h1, use_h0, use_h1):
+    return ksw.mul_and_relin(rp, ct0, ct1, (b, d, v), level,
+                             h0 if use_h0 else None,
+                             h1 if use_h1 else None)
+
+
+@functools.partial(jax.jit, static_argnames=("rot_idx", "use_h"))
+def _rotate_core(rp, ct, rot_idx, rks, h, use_h):
+    return ksw.rotate(rp, ct, rot_idx, rks, h if use_h else None)
+
+
+@jax.jit
+def _conjugate_core(rp, ct, cks):
+    return ksw.conjugate(rp, ct, cks)
+
+
+@functools.partial(jax.jit, static_argnames=("level",))
+def _mul_ptxt_core(rp, data, pt, level):
+    ring = rp.ring_q_at(level)
+    pm = ring.to_mont(ring.ntt(pt))
+    return ring.intt(ring.mul_mont(ring.ntt(data), pm[None]))
+
+
+@functools.partial(jax.jit, static_argnames=("level",))
+def _hoist_core(rp, party_data, level):
+    return ksw.decompose(rp, party_data, level)
+
+
+# ----------------------------------------------------------------------------
+
+
+class Evaluator:
+    def __init__(self, params: Parameters):
+        self.params = params
+
+    # -- helpers ------------------------------------------------------------
+
+    def _index_maps(self, ids_out, ids_a, ids_b):
+        map_a = tuple(
+            [0] + [1 + ids_a.index(i) if i in ids_a else -1
+                   for i in ids_out])
+        map_b = tuple(
+            [0] + [1 + ids_b.index(i) if i in ids_b else -1
+                   for i in ids_out])
+        return map_a, map_b
+
+    def _align_levels(self, ct0: Ciphertext, ct1: Ciphertext):
+        level = min(ct0.level, ct1.level)
+        return self.drop_level(ct0, ct0.level - level), \
+            self.drop_level(ct1, ct1.level - level), level
+
+    def _align_scales(self, ct0: Ciphertext, ct1: Ciphertext):
+        """Scale alignment via integer MultByConst (evaluateInPlace,
+        mkckks/evaluator.go:200-304)."""
+        s0, s1 = ct0.scale, ct1.scale
+        if s1 > s0 and math.floor(s1 / s0) > 1:
+            ct0 = self.mult_by_const_new(ct0, math.floor(s1 / s0))
+        elif s0 > s1 and math.floor(s0 / s1) > 1:
+            ct1 = self.mult_by_const_new(ct1, math.floor(s0 / s1))
+        return ct0, ct1
+
+    # -- add / sub ----------------------------------------------------------
+
+    def add_new(self, ct0: Ciphertext, ct1: Ciphertext) -> Ciphertext:
+        ct0, ct1 = self._align_scales(ct0, ct1)
+        ct0, ct1, level = self._align_levels(ct0, ct1)
+        ids = union_ids(ct0.ids, ct1.ids)
+        map_a, map_b = self._index_maps(ids, ct0.ids, ct1.ids)
+        data = _add_core(self.params.rlwe, ct0.ct.data, ct1.ct.data,
+                         map_a, map_b)
+        return Ciphertext(ct=RCt(ids=ids, data=data),
+                          scale=max(ct0.scale, ct1.scale))
+
+    def sub_new(self, ct0: Ciphertext, ct1: Ciphertext) -> Ciphertext:
+        ct0, ct1 = self._align_scales(ct0, ct1)
+        ct0, ct1, level = self._align_levels(ct0, ct1)
+        ids = union_ids(ct0.ids, ct1.ids)
+        map_a, map_b = self._index_maps(ids, ct0.ids, ct1.ids)
+        data = _sub_core(self.params.rlwe, ct0.ct.data, ct1.ct.data,
+                         map_a, map_b)
+        return Ciphertext(ct=RCt(ids=ids, data=data),
+                          scale=max(ct0.scale, ct1.scale))
+
+    # -- constants ----------------------------------------------------------
+
+    def mult_by_const_new(self, ct: Ciphertext, const) -> Ciphertext:
+        """Multiply by a scalar constant (MultByConst,
+        mkckks/evaluator.go:117-198). Integer-valued constants keep the
+        scale; fractional ones are scaled by q_level."""
+        c = complex(const)
+        level = ct.level
+        scale = 1.0
+        if (c.real != int(c.real)) or (c.imag != int(c.imag)):
+            scale = float(self.params.rlwe.q_moduli[level])
+        sr = int(round(c.real * scale))
+        si = int(round(c.imag * scale))
+        data = _mult_const_core(self.params.rlwe, ct.ct.data, sr, si, level)
+        return Ciphertext(ct=RCt(ids=ct.ids, data=data),
+                          scale=ct.scale * scale)
+
+    # -- level / scale management ------------------------------------------
+
+    def drop_level(self, ct: Ciphertext, levels: int) -> Ciphertext:
+        if levels <= 0:
+            return ct
+        return Ciphertext(ct=mkrlwe.drop_level(ct.ct, levels),
+                          scale=ct.scale)
+
+    def rescale(self, ct: Ciphertext, min_scale: Optional[float] = None
+                ) -> Ciphertext:
+        """Divide by trailing moduli until the scale ~ min_scale
+        (Rescale, mkckks/evaluator.go:359-398)."""
+        if min_scale is None:
+            min_scale = self.params.scale
+        q = self.params.rlwe.q_moduli
+        scale = ct.scale
+        nb = 0
+        level = ct.level
+        while (level - nb >= 1
+               and scale / q[level - nb] >= min_scale / 2):
+            scale /= q[level - nb]
+            nb += 1
+        if nb == 0:
+            return ct
+        data = _rescale_core(self.params.rlwe, ct.ct.data, nb)
+        return Ciphertext(ct=RCt(ids=ct.ids, data=data), scale=scale)
+
+    # -- multiplication -----------------------------------------------------
+
+    def hoisted_form(self, ct: Ciphertext) -> mkrlwe.HoistedCiphertext:
+        digits = _hoist_core(self.params.rlwe, ct.ct.data[1:], ct.level)
+        return mkrlwe.HoistedCiphertext(ids=ct.ids, digits=digits)
+
+    def mul_relin_new(self, ct0: Ciphertext, ct1: Ciphertext, rlk_set
+                      ) -> Ciphertext:
+        if ct0 is ct1:
+            h = self.hoisted_form(ct0)
+            return self.mul_relin_hoisted_new(ct0, ct1, h, h, rlk_set)
+        return self.mul_relin_hoisted_new(
+            ct0, ct1, self.hoisted_form(ct0), self.hoisted_form(ct1),
+            rlk_set)
+
+    def mul_relin_hoisted_new(self, ct0: Ciphertext, ct1: Ciphertext,
+                              h0, h1, rlk_set) -> Ciphertext:
+        ct0a, ct1a, level = self._align_levels(ct0, ct1)
+        ids = union_ids(ct0.ids, ct1.ids)
+        b, d, v = rlk_set.stacked(ids)
+        dummy = h0 if h0 is not None else h1
+        out = _mul_relin_core(
+            self.params.rlwe, ct0a.ct, ct1a.ct, b, d, v, level,
+            h0 if h0 is not None else dummy,
+            h1 if h1 is not None else dummy,
+            h0 is not None, h1 is not None)
+        res = Ciphertext(ct=out, scale=ct0.scale * ct1.scale)
+        return self.rescale(res)
+
+    def mul_ptxt_new(self, ct: Ciphertext, pt, pt_scale: float
+                     ) -> Ciphertext:
+        """Multiply by an encoded plaintext (MulPtxtNew,
+        mkckks/evaluator.go:465-481). pt: (Lq, N) uint32 coeff domain."""
+        level = ct.level
+        data = _mul_ptxt_core(self.params.rlwe, ct.ct.data,
+                              pt[..., :level + 1, :], level)
+        res = Ciphertext(ct=RCt(ids=ct.ids, data=data),
+                         scale=ct.scale * pt_scale)
+        return self.rescale(res)
+
+    # -- rotations ----------------------------------------------------------
+
+    def _normalize_rot(self, rot_idx: int) -> int:
+        nh = self.params.n // 2
+        return rot_idx % nh
+
+    def rotate_new(self, ct: Ciphertext, rot_idx: int, rtk_set
+                   ) -> Ciphertext:
+        rot_idx = self._normalize_rot(rot_idx)
+        if rot_idx == 0:
+            return ct
+        if rot_idx in self.params.rlwe.crs:
+            rks = rtk_set.stacked(ct.ids, rot_idx)
+            out = _rotate_core(self.params.rlwe, ct.ct, rot_idx, rks,
+                               None, False)
+            return Ciphertext(ct=out, scale=ct.scale)
+        # power-of-two decomposition fallback (evaluator.go:516-524)
+        cur = ct
+        k = 1
+        while rot_idx > 0:
+            if rot_idx % 2:
+                cur = self.rotate_new(cur, k, rtk_set)
+            rot_idx //= 2
+            k *= 2
+        return cur
+
+    def rotate_hoisted_new(self, ct: Ciphertext, rot_idx: int, h, rtk_set
+                           ) -> Ciphertext:
+        rot_idx = self._normalize_rot(rot_idx)
+        if rot_idx == 0:
+            return ct
+        if rot_idx not in self.params.rlwe.crs:
+            raise KeyError("hoisted rotation needs a precomputed CRS "
+                           "(reference panics too, evaluator.go:615)")
+        rks = rtk_set.stacked(ct.ids, rot_idx)
+        out = _rotate_core(self.params.rlwe, ct.ct, rot_idx, rks, h, True)
+        return Ciphertext(ct=out, scale=ct.scale)
+
+    def conjugate_new(self, ct: Ciphertext, cjk_set) -> Ciphertext:
+        cks = cjk_set.stacked(ct.ids)
+        out = _conjugate_core(self.params.rlwe, ct.ct, cks)
+        return Ciphertext(ct=out, scale=ct.scale)

@@ -1,0 +1,97 @@
+"""Multi-key CKKS parameters (TPU rebuild of mkckks/params.go).
+
+Parameter presets mirror the reference's test literals
+(mkckks/mkckks_test.go:51-91, cnn/cnn_test.go:80-97) at the same ring
+degree, slot count, scale, and total modulus bit-size — but with uint32 RNS
+limbs: each of the reference's 47-60-bit primes becomes a pair of 23-30-bit
+primes, and Rescale drops a pair per level. Security is governed by
+(N, logQP), both preserved; noise behaviour matches because scales and
+level budgets are identical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+from .. import mkrlwe
+from ..ops.primes import ntt_primes
+
+
+@dataclasses.dataclass(frozen=True)
+class Parameters:
+    rlwe: mkrlwe.Parameters
+    logslots: int
+    scale: float
+
+    @property
+    def logn(self) -> int:
+        return self.rlwe.logn
+
+    @property
+    def n(self) -> int:
+        return self.rlwe.n
+
+    @property
+    def slots(self) -> int:
+        return 1 << self.logslots
+
+    @property
+    def max_level(self) -> int:
+        return self.rlwe.max_level
+
+    def add_crs(self, idx: int) -> "Parameters":
+        return dataclasses.replace(self, rlwe=mkrlwe.add_crs(self.rlwe, idx))
+
+
+def _distinct(*groups):
+    seen = set()
+    for g in groups:
+        for q in g:
+            if q in seen:
+                raise ValueError("prime collision across groups")
+            seen.add(q)
+
+
+def new_parameters(logn: int, logslots: int, q0_bits: float,
+                   level_bits: float, levels: int, scale: float,
+                   gamma: int = 2, q0_count: int = 2,
+                   limbs_per_level: int = 2,
+                   p_bits: float = 28.4, p_count: int = 2) -> Parameters:
+    """Build a CKKS parameter set: q0_count primes ~q0_bits for the base
+    modulus, `levels` rescaling levels of limbs_per_level primes each
+    (their product ~ scale), and p_count special primes."""
+    q0 = ntt_primes(logn, q0_bits, q0_count)
+    lv = ntt_primes(logn, level_bits, levels * limbs_per_level)
+    p = ntt_primes(logn, p_bits, p_count)
+    _distinct(q0, lv, p)
+    q_moduli = tuple(q0) + tuple(lv)
+    rl = mkrlwe.new_parameters(logn, q_moduli, tuple(p), gamma=gamma)
+    return Parameters(rlwe=rl, logslots=logslots, scale=scale)
+
+
+# -- presets (equivalents of the reference parameter sets) -------------------
+
+@functools.lru_cache(maxsize=None)
+def PN15QP880() -> Parameters:
+    """logN=15, 14 levels: q0 ~58b + 13 x ~54b (27b pairs), P ~57b,
+    scale 2^54 (reference: mkckks/mkckks_test.go:51-72)."""
+    return new_parameters(15, 14, q0_bits=28.9, level_bits=27.0, levels=13,
+                          scale=2.0 ** 54, p_bits=28.4)
+
+
+@functools.lru_cache(maxsize=None)
+def PN14QP439() -> Parameters:
+    """logN=14, q0 ~58b + 5 x ~52b (26b pairs), scale 2^52
+    (reference: mkckks/mkckks_test.go:73-91)."""
+    return new_parameters(14, 13, q0_bits=28.9, level_bits=26.0, levels=5,
+                          scale=2.0 ** 52, p_bits=28.4)
+
+
+@functools.lru_cache(maxsize=None)
+def PN14QP433_CNN() -> Parameters:
+    """logN=14, q0 ~57b + 6 x ~47b (23.5b pairs), scale 2^47
+    (reference: cnn/cnn_test.go:80-97)."""
+    return new_parameters(14, 13, q0_bits=28.4, level_bits=23.5, levels=6,
+                          scale=2.0 ** 47, p_bits=28.0)

@@ -104,12 +104,23 @@ class PublicKeySet(KeySet):
 
 
 class RelinearizationKeySet(KeySet):
+    def __init__(self):
+        super().__init__()
+        self._cache = {}
+
+    def add(self, key):
+        super().add(key)
+        self._cache.clear()
+
     def stacked(self, ids: Tuple[str, ...]):
-        """(b, d, v) stacked over ids: each (k, beta, Lqp, N)."""
-        b = jnp.stack([self.value[i].b for i in ids])
-        d = jnp.stack([self.value[i].d for i in ids])
-        v = jnp.stack([self.value[i].v for i in ids])
-        return b, d, v
+        """(b, d, v) stacked over ids: each (k, beta, Lqp, N). Memoized so
+        repeated evaluator calls reuse the device arrays."""
+        if ids not in self._cache:
+            b = jnp.stack([self.value[i].b for i in ids])
+            d = jnp.stack([self.value[i].d for i in ids])
+            v = jnp.stack([self.value[i].v for i in ids])
+            self._cache[ids] = (b, d, v)
+        return self._cache[ids]
 
 
 class RotationKeySet:
@@ -126,7 +137,14 @@ class RotationKeySet:
         return pid in self.value and rot_idx in self.value[pid]
 
     def stacked(self, ids: Tuple[str, ...], rot_idx: int):
-        return jnp.stack([self.value[i][rot_idx].data for i in ids])
+        key = (ids, rot_idx)
+        cache = getattr(self, "_cache", None)
+        if cache is None:
+            cache = self._cache = {}
+        if key not in cache:
+            cache[key] = jnp.stack(
+                [self.value[i][rot_idx].data for i in ids])
+        return cache[key]
 
 
 class ConjugationKeySet(KeySet):

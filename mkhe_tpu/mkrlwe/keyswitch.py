@@ -106,6 +106,22 @@ def external_product(params: Parameters, digits: jax.Array, swk: jax.Array,
         params, external_product_ntt(params, digits, swk, level), level)
 
 
+def _aggregate_keys(params: Parameters, digits: jax.Array, keys: jax.Array,
+                    level: int) -> jax.Array:
+    """x_b = sum_k digits[k, b] * keys[k, b]: collapse the party axis but
+    keep the digit axis (the x/y switching-key aggregation of MulAndRelin,
+    keyswitch.go:156-180). digits (k, beta, Lqp, N) -> (beta, Lqp, N),
+    canonical."""
+    ring_qp = params.ring_qp_at(level)
+    k = digits.shape[0]
+    acc = mm.mul_accum_init(digits.shape[1:])
+    for i in range(k):
+        acc = mm.mul_accum_step(acc, digits[i], keys[i])
+    q = ring_qp.q[:, None]
+    r = mm.mont_reduce_wide(acc[0], acc[1], q, ring_qp.qinv_neg[:, None])
+    return ring_qp.reduce(r)
+
+
 def _sum_parties_ntt(params: Parameters, digits: jax.Array, swks: jax.Array,
                      level: int) -> jax.Array:
     """sum_k sum_b digits[k, b] * swk[k, b] reduced canonically over QP,
@@ -137,7 +153,8 @@ def hoisted_form(params: Parameters, ct: Ciphertext) -> HoistedCiphertext:
 # ----------------------------------------------------------------------------
 
 def mul_and_relin(params: Parameters, ct0: Ciphertext, ct1: Ciphertext,
-                  rlk_set, level: int,
+                  rlk_stacked: Tuple[jax.Array, jax.Array, jax.Array],
+                  level: int,
                   h0: Optional[HoistedCiphertext] = None,
                   h1: Optional[HoistedCiphertext] = None) -> Ciphertext:
     """The KKLSS multi-key multiplication with relinearization
@@ -160,7 +177,7 @@ def mul_and_relin(params: Parameters, ct0: Ciphertext, ct1: Ciphertext,
     dec0 = h0.digits if h0 is not None else decompose(params, d0[1:], level)
     dec1 = h1.digits if h1 is not None else decompose(params, d1[1:], level)
 
-    b_all, d_all, v_all = rlk_set.stacked(ids)
+    b_all, d_all, v_all = rlk_stacked  # each (k_union, beta, Lqp, N)
     sel0 = np.array([ids.index(i) for i in ids0])
     sel1 = np.array([ids.index(i) for i in ids1])
     d_keys = slice_swk(params, d_all[sel0], level)
@@ -169,8 +186,8 @@ def mul_and_relin(params: Parameters, ct0: Ciphertext, ct1: Ciphertext,
     u_key = params.crs_at(-1, level)
 
     ring_qp = params.ring_qp_at(level)
-    x = ring_qp.to_mont(_sum_parties_ntt(params, dec0, d_keys, level))
-    y = ring_qp.to_mont(_sum_parties_ntt(params, dec1, b_keys, level))
+    x = ring_qp.to_mont(_aggregate_keys(params, dec0, d_keys, level))
+    y = ring_qp.to_mont(_aggregate_keys(params, dec1, b_keys, level))
 
     # tensor terms (NTT over Q limbs only)
     nt0 = ring_q.ntt(d0)
@@ -212,7 +229,8 @@ def mul_and_relin(params: Parameters, ct0: Ciphertext, ct1: Ciphertext,
 # Rotate / Conjugate
 # ----------------------------------------------------------------------------
 
-def rotate(params: Parameters, ct: Ciphertext, rot_idx: int, rtk_set,
+def rotate(params: Parameters, ct: Ciphertext, rot_idx: int,
+           rtk_stacked: jax.Array,
            h: Optional[HoistedCiphertext] = None) -> Ciphertext:
     """Slot rotation (keyswitch.go:234-298 / RotateHoisted):
       out_0 = ct_0 + sum_i Ext(ct_i, rtk_i);  out_i = Ext(ct_i, a_rot)
@@ -223,7 +241,7 @@ def rotate(params: Parameters, ct: Ciphertext, rot_idx: int, rtk_set,
         rot_idx += params.n // 2
     ring_q = params.ring_q_at(level)
     dec = h.digits if h is not None else decompose(params, ct.data[1:], level)
-    rks = slice_swk(params, rtk_set.stacked(ct.ids, rot_idx), level)
+    rks = slice_swk(params, rtk_stacked, level)
     a = params.crs_at(rot_idx, level)
 
     c0 = ring_q.add(ct.data[0], mod_down_qp(
@@ -236,14 +254,15 @@ def rotate(params: Parameters, ct: Ciphertext, rot_idx: int, rtk_set,
     return Ciphertext(ids=ct.ids, data=out)
 
 
-def conjugate(params: Parameters, ct: Ciphertext, cjk_set) -> Ciphertext:
+def conjugate(params: Parameters, ct: Ciphertext,
+              cjk_stacked: jax.Array) -> Ciphertext:
     """Conjugation (keyswitch.go:302-332): permute first, then key-switch."""
     level = ct.level
     ring_q = params.ring_q_at(level)
     gal = galois_element_conj(params.n)
     permuted = ring_q.permute_coeffs(ct.data, gal)
     dec = decompose(params, permuted[1:], level)
-    cks = slice_swk(params, cjk_set.stacked(ct.ids), level)
+    cks = slice_swk(params, cjk_stacked, level)
     a = params.crs_at(-2, level)
     c0 = ring_q.add(permuted[0], mod_down_qp(
         params, _sum_parties_ntt(params, dec, cks, level), level))

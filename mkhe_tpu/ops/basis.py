@@ -70,13 +70,15 @@ def mod_up_tables(src: Tuple[int, ...], dst: Tuple[int, ...]) -> ModUpTables:
     for j, dj in enumerate(dst):
         for v in range(ls + 1):
             vq[j, v] = (v * B) % dj
+    # NOTE: tables are cached as numpy arrays (not jnp) so that a first
+    # call from inside a jit trace does not cache tracers; jnp ops consume
+    # them as constants.
     return ModUpTables(
         src_moduli=src, dst_moduli=dst,
-        qhat_inv_mont=jnp.asarray(qhat_inv),
-        qhat_dst_mont=jnp.asarray(qhat_dst),
-        vq_dst=jnp.asarray(vq),
-        inv_b_f32=jnp.asarray(1.0 / np.array(src, np.float64),
-                              dtype=jnp.float32))
+        qhat_inv_mont=qhat_inv,
+        qhat_dst_mont=qhat_dst,
+        vq_dst=vq,
+        inv_b_f32=(1.0 / np.array(src, np.float64)).astype(np.float32))
 
 
 def mod_up(x, src_ring: Ring, dst_ring: Ring, tables: ModUpTables
@@ -106,7 +108,7 @@ def mod_up(x, src_ring: Ring, dst_ring: Ring, tables: ModUpTables
     r = mm.mont_reduce_wide(acc[0], acc[1], dq, dst_ring.qinv_neg[:, None])
     r = mm.barrett_reduce(r, dq, dst_ring.bar[:, None])
     # subtract v*B mod d_j  (table lookup over v in [0, Ls])
-    corr = jnp.moveaxis(tables.vq_dst[:, v], 0, -2)  # (..., Ld, N)
+    corr = jnp.moveaxis(jnp.asarray(tables.vq_dst)[:, v], 0, -2)
     return mm.sub_mod(r, corr, dq)
 
 
@@ -129,8 +131,7 @@ def mod_down_tables(qm: Tuple[int, ...], pm: Tuple[int, ...]) -> ModDownTables:
         P *= p
     pinv = np.array([mm.to_mont_host(pow(P % q, -1, q), q) for q in qm],
                     np.uint32)
-    return ModDownTables(q_moduli=qm, p_moduli=pm,
-                         pinv_mont=jnp.asarray(pinv))
+    return ModDownTables(q_moduli=qm, p_moduli=pm, pinv_mont=pinv)
 
 
 def mod_down(xq, xp, ring_q: Ring, ring_p: Ring) -> jax.Array:
@@ -198,8 +199,7 @@ def _rescale_consts(moduli: Tuple[int, ...], nb: int):
         half_rem = np.array([half % q for q in mods], np.uint32)
         qlinv = np.array([mm.to_mont_host(pow(ql % q, -1, q), q)
                           for q in mods], np.uint32)
-        steps.append((np.uint32(half), jnp.asarray(half_rem),
-                      jnp.asarray(qlinv)))
+        steps.append((np.uint32(half), half_rem, qlinv))
     return steps
 
 

@@ -267,7 +267,7 @@ def _coeff_perm_host(logn: int, gal: int):
         j = raw & (n - 1)
         src[j] = i
         sign[j] = (raw >> logn) & 1
-    return jnp.asarray(src), jnp.asarray(sign)
+    return src, sign  # numpy: safe to cache across traces
 
 
 @functools.lru_cache(maxsize=None)
@@ -282,7 +282,7 @@ def _ntt_perm_host(logn: int, gal: int):
     for j in range(n):
         e = 2 * brv[j] + 1
         pi[j] = inv_slot[(e * gal) % (2 * n)]
-    return jnp.asarray(pi)
+    return pi  # numpy: safe to cache across traces
 
 
 def galois_element_rot(k: int, n: int) -> int:
