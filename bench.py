@@ -1,0 +1,74 @@
+"""Headline benchmark: 4-party MKCKKS homomorphic multiply+relinearize at
+logN=15 (the reference's BenchmarkMKCKKS/MulAndRelin configuration,
+mkckks/mkckks_benchmark_test.go:11-84, params mkckks_test.go:51-72).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the Go reference publishes no numbers and this container has no
+Go toolchain to run its harness, so the single-core Go baseline is
+estimated at 2000 ms per 4-party logN=15 MulRelinNew from the reference's
+operation count (~900 N=2^15 limb-NTTs plus digit products at ~1.5 ms per
+u64 limb-NTT single-core) — consistent with the timings reported in the
+KKLSS paper (eprint 2022/347) for comparable parameters. vs_baseline is
+baseline_ms / measured_ms (higher = faster than reference).
+"""
+
+import json
+import os
+import sys
+import time
+
+GO_BASELINE_MS = 2000.0  # estimated; see module docstring
+
+
+def main():
+    parties = int(os.environ.get("BENCH_PARTIES", "4"))
+    import numpy as np
+    import jax
+
+    from mkhe_tpu import mkrlwe, mkckks
+
+    params = mkckks.PN15QP880()
+    kgen = mkrlwe.KeyGenerator(params.rlwe, seed=5)
+    rlk = mkrlwe.RelinearizationKeySet()
+    pks = {}
+    for i in range(parties):
+        uid = f"user{i}"
+        sk, pk = kgen.gen_key_pair(uid)
+        r = kgen.gen_secret_key(uid)
+        rlk.add(kgen.gen_relinearization_key(sk, r))
+        pks[uid] = pk
+
+    enc = mkckks.Encryptor(params, seed=6)
+    ev = mkckks.Evaluator(params)
+    rng = np.random.default_rng(0)
+
+    ct = None
+    for i in range(parties):
+        msg = mkckks.Message(
+            value=rng.uniform(0.1 / parties, 1.0 / parties, params.slots)
+            + 1j * rng.uniform(0.1 / parties, 1.0 / parties, params.slots))
+        c = enc.encrypt_msg(msg, pks[f"user{i}"])
+        ct = c if ct is None else ev.add_new(ct, c)
+
+    # warm up + compile
+    out = ev.mul_relin_new(ct, ct, rlk)
+    jax.block_until_ready(out.ct.data)
+
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = ev.mul_relin_new(ct, ct, rlk)
+    jax.block_until_ready(out.ct.data)
+    dt_ms = (time.perf_counter() - t0) / iters * 1000.0
+
+    print(json.dumps({
+        "metric": f"mkckks_mulrelin_logn15_{parties}party_latency",
+        "value": round(dt_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(GO_BASELINE_MS / dt_ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

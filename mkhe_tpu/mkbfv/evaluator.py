@@ -1,0 +1,95 @@
+"""Multi-key BFV evaluator (TPU rebuild of mkbfv/evaluator.go)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import mkrlwe
+from ..mkrlwe import keyswitch as ksw
+from ..mkrlwe.elements import Ciphertext, union_ids
+from .params import Parameters
+from .keys import RelinearizationKeySet
+from . import basis as bfv_basis
+from . import keyswitch as bfv_ksw
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _mul_relin_core(bp, ct0, ct1, b, d, v):
+    rp = bp.rlwe
+    # lift op0 to R; rescale op1 by QMul/Q into R (evaluator.go:118-137)
+    d0r = bfv_basis.mod_up_q_to_r(bp, ct0.data)
+    d1r = bfv_basis.rescale_q_to_r(bp, ct1.data)
+    ct0r = Ciphertext(ids=ct0.ids, data=d0r)
+    ct1r = Ciphertext(ids=ct1.ids, data=d1r)
+    return bfv_ksw.mul_and_relin_bfv(bp, ct0r, ct1r, (b, d, v))
+
+
+@functools.partial(jax.jit, static_argnames=("map_a", "map_b", "op"))
+def _binary_core(rp, a_data, b_data, map_a, map_b, op):
+    ring = rp.ring_q
+    out = []
+    for ia, ib in zip(map_a, map_b):
+        if ia >= 0 and ib >= 0:
+            out.append(ring.add(a_data[ia], b_data[ib]) if op == "add"
+                       else ring.sub(a_data[ia], b_data[ib]))
+        elif ia >= 0:
+            out.append(a_data[ia])
+        else:
+            out.append(b_data[ib] if op == "add" else ring.neg(b_data[ib]))
+    return jnp.stack(out)
+
+
+class Evaluator:
+    def __init__(self, params: Parameters):
+        self.params = params
+
+    def _maps(self, ids, a, b):
+        return (tuple([0] + [1 + a.index(i) if i in a else -1 for i in ids]),
+                tuple([0] + [1 + b.index(i) if i in b else -1 for i in ids]))
+
+    def add_new(self, ct0: Ciphertext, ct1: Ciphertext) -> Ciphertext:
+        ids = union_ids(ct0.ids, ct1.ids)
+        ma, mb = self._maps(ids, ct0.ids, ct1.ids)
+        data = _binary_core(self.params.rlwe, ct0.data, ct1.data,
+                            ma, mb, "add")
+        return Ciphertext(ids=ids, data=data)
+
+    def sub_new(self, ct0: Ciphertext, ct1: Ciphertext) -> Ciphertext:
+        ids = union_ids(ct0.ids, ct1.ids)
+        ma, mb = self._maps(ids, ct0.ids, ct1.ids)
+        data = _binary_core(self.params.rlwe, ct0.data, ct1.data,
+                            ma, mb, "sub")
+        return Ciphertext(ids=ids, data=data)
+
+    def mul_relin_new(self, ct0: Ciphertext, ct1: Ciphertext,
+                      rlk_set: RelinearizationKeySet) -> Ciphertext:
+        ids = union_ids(ct0.ids, ct1.ids)
+        b, d, v = rlk_set.stacked(ids)
+        return _mul_relin_core(self.params, ct0, ct1, b, d, v)
+
+    def rotate_new(self, ct: Ciphertext, rot_idx: int, rtk_set
+                   ) -> Ciphertext:
+        p = self.params
+        nh = p.n // 2
+        rot_idx %= nh
+        if rot_idx == 0:
+            return ct
+        if rot_idx in p.rlwe.crs:
+            rks = rtk_set.stacked(ct.ids, rot_idx)
+            return ksw.rotate(p.rlwe, ct, rot_idx, rks)
+        cur = ct
+        k = 1
+        while rot_idx > 0:
+            if rot_idx % 2:
+                cur = self.rotate_new(cur, k, rtk_set)
+            rot_idx //= 2
+            k *= 2
+        return cur
+
+    def conjugate_new(self, ct: Ciphertext, cjk_set) -> Ciphertext:
+        return ksw.conjugate(self.params.rlwe, ct,
+                             cjk_set.stacked(ct.ids))

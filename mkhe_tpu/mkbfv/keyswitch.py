@@ -1,0 +1,103 @@
+"""BFV key switching over the double basis (TPU rebuild of
+mkbfv/keyswitch.go and keyswitch_hoisted.go).
+
+The R-basis gadget decomposition yields 2*beta single-limb digits (alpha=1
+broadcast fast path, like DecomposeBFV's use of the RP decomposer at
+keyswitch.go:57-80); the paired switching keys are stored fused as
+(2*beta, Lqp, N) so external products are a single 2*beta-term accumulate.
+The tensor product runs in the NTT domain of R and is quantized by t/QMul
+back to Q (keyswitch.go:191-228).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..mkrlwe import keyswitch as ksw
+from ..mkrlwe.elements import Ciphertext, union_ids
+from ..ops import basis as rns_basis
+from .params import Parameters
+from . import basis as bfv_basis
+
+
+def decompose_bfv(params: Parameters, x_r: jax.Array) -> jax.Array:
+    """R-basis coeff-domain (..., 2Lq, N) -> NTT digits (..., 2beta, Lqp, N).
+    """
+    rp = params.rlwe
+    ring_qp = rp.ring_qp
+    digits = rns_basis.decompose_digits(x_r, params.ring_r, ring_qp, 1)
+    return ring_qp.ntt(digits, reduce_input=True)
+
+
+def mul_and_relin_bfv(params: Parameters, ct0r: Ciphertext,
+                      ct1r: Ciphertext,
+                      rlk_stacked: Tuple[jax.Array, jax.Array, jax.Array],
+                      dec0: Optional[jax.Array] = None,
+                      dec1: Optional[jax.Array] = None) -> Ciphertext:
+    """KKLSS multiplication in the BFV double basis
+    (MulAndRelinBFV[Hoisted], keyswitch.go:116-250):
+
+    ct0r components hold lifted values (ModUpQtoR), ct1r components hold
+    QMul/Q-rescaled values; the tensor in R quantizes by t/QMul back to Q,
+    and the x/y/v/u relinearization fixups run over QP exactly as in CKKS
+    but with 2*beta digits.
+    """
+    rp = params.rlwe
+    level = rp.max_level
+    ring_q = rp.ring_q
+    ring_r = params.ring_r
+    ring_qp = rp.ring_qp
+
+    ids0, ids1 = ct0r.ids, ct1r.ids
+    ids = union_ids(ids0, ids1)
+
+    if dec0 is None:
+        dec0 = decompose_bfv(params, ct0r.data[1:])
+    if dec1 is None:
+        dec1 = decompose_bfv(params, ct1r.data[1:])
+
+    b_all, d_all, v_all = rlk_stacked
+    sel0 = np.array([ids.index(i) for i in ids0])
+    sel1 = np.array([ids.index(i) for i in ids1])
+    d_keys = d_all[sel0]
+    b_keys = b_all[sel1]
+    v_keys = v_all[sel0]
+    u_key = rp.crs[-1][:rp.beta(level)]
+
+    x = ring_qp.to_mont(ksw._aggregate_keys(rp, dec0, d_keys, level))
+    y = ring_qp.to_mont(ksw._aggregate_keys(rp, dec1, b_keys, level))
+
+    # tensor in ring R (NTT), then quantize each component by t/QMul
+    nt0 = ring_r.ntt(ct0r.data)
+    nt1 = ring_r.ntt(ct1r.data)
+    nt0_0m = ring_r.to_mont(nt0[0])
+    nt1_0m = ring_r.to_mont(nt1[0])
+    tensor = [ring_r.mul_mont(nt1[0], nt0_0m)]
+    for pid in ids:
+        acc = None
+        if pid in ids0:
+            acc = ring_r.mul_mont(nt0[1 + ids0.index(pid)], nt1_0m)
+        if pid in ids1:
+            term = ring_r.mul_mont(nt1[1 + ids1.index(pid)], nt0_0m)
+            acc = term if acc is None else ring_r.add(acc, term)
+        tensor.append(acc)
+    out_arr = bfv_basis.quantize(params, jnp.stack(tensor))
+
+    # out_j += Ext(ct1r_j, x)
+    z1 = ksw.external_product(rp, dec1, x, level)
+    out_arr = out_arr.at[1 + sel1].set(ring_q.add(out_arr[1 + sel1], z1))
+
+    # t_i = Ext(ct0r_i, y); standard Q-basis fixups with v_i and u
+    t = ksw.external_product(rp, dec0, y, level)
+    dec_t = ksw.decompose(rp, t, level)
+    v_sum = ksw.mod_down_qp(
+        rp, ksw._sum_parties_ntt(rp, dec_t, v_keys, level), level)
+    out_arr = out_arr.at[0].set(ring_q.add(out_arr[0], v_sum))
+    zu = ksw.external_product(rp, dec_t, u_key, level)
+    out_arr = out_arr.at[1 + sel0].set(ring_q.add(out_arr[1 + sel0], zu))
+
+    return Ciphertext(ids=ids, data=out_arr)

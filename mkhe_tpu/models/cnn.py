@@ -1,0 +1,202 @@
+"""Two-party encrypted MNIST CNN inference demo (TPU rebuild of cnn/).
+
+The model (weights converted from the reference's plain-text data files,
+cnn/data/*, into models/data/cnn_weights.npz): a 5-kernel 4x4 stride-2
+convolution, square activation, an 845->64 fully-connected layer, square,
+and a 64->10 classifier — evaluated entirely under multi-key CKKS between
+a dataOwner (encrypted image) and a modelOwner (encrypted weights).
+
+Layer structure and SIMD packing mirror cnn/cnn.go:10-96 and the packing
+encoders of cnn/cnn_test.go:353-544:
+  - image packed as 4 strided sub-images x 5 kernel blocks of 14x14 into
+    4096 slots, duplicated to 8192;
+  - convolution = 4 hoisted mults against shifted kernels (rot 1, 14, 15)
+    + a rotation tree (rot 2048, 1024);
+  - FC1 = 8 diagonal-packed blocks via rotate(i*128) + mult + log-tree sum
+    over 128 + bias;
+  - FC2 = mask-mult, gather via negative rotations, mult, log-tree over
+    stride 128, bias.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List
+
+import numpy as np
+
+from .. import mkckks, mkrlwe
+
+IMAGE = 28
+NUM_KERNELS = 5
+KSIZE = 4
+BLOCK = 14          # stride-2 sub-image size
+CONV_OUT = 13
+FC_UNITS = 64
+CLASSES = 10
+GAP = 128
+
+# rotation indices needed beyond powers of two (cnn/cnn_test.go:185-189)
+EXTRA_ROTS = (14, 15, 384, 512, 640, 768, 896, 8191, 8190, 8188, 8184)
+
+
+def load_weights():
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "cnn_weights.npz")
+    w = np.load(path)
+    return (w["kernels"], w["fc1"], w["fc2"], w["b1"], w["b2"])
+
+
+# ----------------------------------------------------------------------------
+# SIMD packing encoders (cnn/cnn_test.go:353-544)
+# ----------------------------------------------------------------------------
+
+def pack_image(image: np.ndarray, slots: int) -> np.ndarray:
+    """28x28 image -> strided 4-block packing, duplicated (cnn_test:353)."""
+    enc = np.zeros(slots, np.complex128)
+    for k in range(NUM_KERNELS):
+        for i in range(BLOCK):
+            for j in range(BLOCK):
+                idx = BLOCK * BLOCK * k + BLOCK * i + j
+                enc[idx] = image[2 * i][2 * j]
+                enc[idx + 1024] = image[2 * i][2 * j + 1]
+                enc[idx + 2048] = image[2 * i + 1][2 * j]
+                enc[idx + 3072] = image[2 * i + 1][2 * j + 1]
+    enc[4096:8192] = enc[:4096]
+    return enc
+
+
+def pack_kernels(kernels: np.ndarray, slots: int) -> List[np.ndarray]:
+    """5 kernels of 4x4 -> 4 packed vectors (cnn_test:388-441)."""
+    out = [np.zeros(slots, np.complex128) for _ in range(4)]
+    # sub-kernel coordinate pairs per packed vector and per quadrant
+    picks = [  # (vector, quadrant) -> (row, col) in the 4x4 kernel
+        [(0, 0), (0, 1), (1, 0), (1, 1)],   # vector 0
+        [(0, 2), (0, 3), (1, 2), (1, 3)],   # vector 1
+        [(2, 0), (2, 1), (3, 0), (3, 1)],   # vector 2
+        [(2, 2), (2, 3), (3, 2), (3, 3)],   # vector 3
+    ]
+    for i in range(NUM_KERNELS):
+        for j in range(CONV_OUT):
+            for kk in range(CONV_OUT):
+                base = BLOCK * BLOCK * i + BLOCK * j + kk
+                for v in range(4):
+                    for quad in range(4):
+                        r, c = picks[v][quad]
+                        out[v][base + 1024 * quad] = kernels[i][r][c]
+    for v in range(4):
+        out[v][4096:8192] = out[v][:4096]
+    return out
+
+
+def pack_fc1(fc1: np.ndarray, slots: int) -> List[np.ndarray]:
+    """845x64 matrix -> 8 diagonal-packed vectors (cnn_test:443-486)."""
+    tmp = np.zeros((FC_UNITS, 1024), np.complex128)
+    for i in range(NUM_KERNELS):
+        for j in range(CONV_OUT):
+            for k in range(CONV_OUT):
+                for l in range(FC_UNITS):
+                    tmp[l][BLOCK * BLOCK * i + BLOCK * j + k] = \
+                        fc1[i + NUM_KERNELS * (j * CONV_OUT + k)][l]
+    out = [np.zeros(slots, np.complex128) for _ in range(8)]
+    for i in range(8):
+        for j in range(64):
+            for k in range(128):
+                out[i][128 * j + k] = tmp[j][128 * ((i + j) % 8) + k]
+    return out
+
+
+def pack_fc2(fc2: np.ndarray, slots: int) -> np.ndarray:
+    enc = np.zeros(slots, np.complex128)
+    for i in range(slots):
+        x, y = i // GAP, i % GAP
+        if y < CLASSES and x < FC_UNITS:
+            enc[i] = fc2[x][y]
+    return enc
+
+
+def pack_b1(b1: np.ndarray, slots: int) -> np.ndarray:
+    enc = np.zeros(slots, np.complex128)
+    for i in range(FC_UNITS):
+        enc[i * GAP] = b1[i]
+    return enc
+
+
+def pack_b2(b2: np.ndarray, slots: int) -> np.ndarray:
+    enc = np.zeros(slots, np.complex128)
+    enc[:CLASSES] = b2
+    return enc
+
+
+def mask_vector(slots: int) -> np.ndarray:
+    m = np.zeros(slots, np.complex128)
+    m[::GAP] = 1
+    return m
+
+
+# ----------------------------------------------------------------------------
+# Encrypted layers (cnn/cnn.go)
+# ----------------------------------------------------------------------------
+
+def convolution(ev: mkckks.Evaluator, rlk, rtk, ct_image, h_image,
+                ct_kernels, h_kernels):
+    """4 hoisted mult+rot combos + rotation-tree fold (cnn/cnn.go:10-40)."""
+    out = ev.mul_relin_hoisted_new(ct_image, ct_kernels[0], h_image,
+                                   h_kernels[0], rlk)
+    for rot, kidx in ((1, 1), (14, 2), (15, 3)):
+        tmp = ev.rotate_hoisted_new(ct_image, rot, h_image, rtk)
+        h_tmp = ev.hoisted_form(tmp)
+        tmp = ev.mul_relin_hoisted_new(tmp, ct_kernels[kidx], h_tmp,
+                                       h_kernels[kidx], rlk)
+        out = ev.add_new(out, tmp)
+    for rot in (2048, 1024):
+        out = ev.add_new(out, ev.rotate_new(out, rot, rtk))
+    return out
+
+
+def fc1_layer(ev: mkckks.Evaluator, rlk, rtk, ct_vec, h_vec, ct_mat,
+              h_mat, ct_bias):
+    """8 diagonal blocks + log-tree over 128 + bias (cnn/cnn.go:42-71)."""
+    out = None
+    for i in range(len(ct_mat)):
+        tmp = ev.rotate_hoisted_new(ct_vec, i * 128, h_vec, rtk)
+        h_tmp = ev.hoisted_form(tmp)
+        tmp = ev.mul_relin_hoisted_new(tmp, ct_mat[i], h_tmp, h_mat[i], rlk)
+        out = tmp if out is None else ev.add_new(out, tmp)
+    for i in range(7):  # log2(128)
+        out = ev.add_new(out, ev.rotate_new(out, 1 << i, rtk))
+    return ev.add_new(out, ct_bias)
+
+
+def fc2_layer(ev: mkckks.Evaluator, rlk, rtk, ct_vec, ct_mat, ct_bias,
+              pt_mask, mask_scale):
+    """mask, gather, mult, log-tree over 64*128 stride, bias
+    (cnn/cnn.go:73-96)."""
+    out = ev.mul_ptxt_new(ct_vec, pt_mask, mask_scale)
+    for i in range(4):  # log2(16)
+        out = ev.add_new(out, ev.rotate_new(out, -(1 << i), rtk))
+    out = ev.mul_relin_new(out, ct_mat, rlk)
+    for i in range(6):  # log2(64)
+        out = ev.add_new(out, ev.rotate_new(out, 128 * (1 << i), rtk))
+    return ev.add_new(out, ct_bias)
+
+
+# ----------------------------------------------------------------------------
+# Plaintext reference model (for verifying the encrypted pipeline; the
+# reference checks argmax against MNIST labels, whose csv is absent from
+# the snapshot — .MISSING_LARGE_BLOBS)
+# ----------------------------------------------------------------------------
+
+def plain_forward(image: np.ndarray, kernels, fc1, fc2, b1, b2):
+    conv = np.zeros((NUM_KERNELS, CONV_OUT, CONV_OUT))
+    for c in range(NUM_KERNELS):
+        for i in range(CONV_OUT):
+            for j in range(CONV_OUT):
+                patch = image[2 * i:2 * i + KSIZE, 2 * j:2 * j + KSIZE]
+                conv[c, i, j] = np.sum(patch * kernels[c])
+    x = conv.transpose(1, 2, 0).reshape(-1)   # index i + 5*(j*13+k)
+    x = x * x
+    x = fc1.T @ x + b1
+    x = x * x
+    return fc2.T @ x + b2
