@@ -8,6 +8,7 @@ with ternary u and gaussian e0, e1; output in coefficient domain.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -17,6 +18,23 @@ from ..ops import sampling
 from .params import Parameters
 from .elements import Ciphertext
 from .keys import PublicKey
+
+
+@functools.partial(jax.jit, static_argnames=("level", "has_pt"))
+def _encrypt_core(rp: Parameters, pk_data, pt, u_signed, e0_signed,
+                  e1_signed, level, has_pt):
+    ring = rp.ring_q_at(level)
+    u = sampling.lift_signed(u_signed, ring)
+    u_ntt = ring.ntt(u)
+    pk0 = pk_data[0, :level + 1]
+    pk1 = pk_data[1, :level + 1]
+    c0 = ring.intt(ring.mul_mont(u_ntt, pk0))
+    c1 = ring.intt(ring.mul_mont(u_ntt, pk1))
+    c0 = ring.add(c0, sampling.lift_signed(e0_signed, ring))
+    c1 = ring.add(c1, sampling.lift_signed(e1_signed, ring))
+    if has_pt:
+        c0 = ring.add(c0, pt)
+    return jnp.stack([c0, c1])
 
 
 class Encryptor:
@@ -36,19 +54,11 @@ class Encryptor:
         if level is None:
             level = (plaintext.shape[-2] - 1 if plaintext is not None
                      else p.max_level)
-        ring = p.ring_q_at(level)
-
-        u = sampling.ternary_rns(self._next_key(), ring)
-        u_ntt = ring.ntt(u)
-        pk0 = pk.data[0, :level + 1]
-        pk1 = pk.data[1, :level + 1]
-        c0 = ring.intt(ring.mul_mont(u_ntt, pk0))
-        c1 = ring.intt(ring.mul_mont(u_ntt, pk1))
-
-        e0 = sampling.gaussian_rns(self._next_key(), ring, sigma=p.sigma)
-        e1 = sampling.gaussian_rns(self._next_key(), ring, sigma=p.sigma)
-        c0 = ring.add(c0, e0)
-        c1 = ring.add(c1, e1)
-        if plaintext is not None:
-            c0 = ring.add(c0, plaintext)
-        return Ciphertext(ids=(pk.id,), data=jnp.stack([c0, c1]))
+        u = sampling.ternary(self._next_key(), p.n)
+        e0 = sampling.gaussian(self._next_key(), p.n, sigma=p.sigma)
+        e1 = sampling.gaussian(self._next_key(), p.n, sigma=p.sigma)
+        pt = plaintext if plaintext is not None else jnp.zeros(
+            (level + 1, p.n), jnp.uint32)
+        data = _encrypt_core(p, pk.data, pt, u, e0, e1, level,
+                             plaintext is not None)
+        return Ciphertext(ids=(pk.id,), data=data)

@@ -98,12 +98,17 @@ class Parameters:
         return a[:self.beta(level)][:, sel, :]
 
 
-def _gen_crs(ring_qp: Ring, beta: int, seed: int, idx: int) -> jax.Array:
-    key = jax.random.fold_in(jax.random.key(seed), idx & 0xFFFFFFFF)
+@functools.partial(jax.jit, static_argnames=("beta",))
+def _gen_crs_core(ring_qp: Ring, key, beta: int) -> jax.Array:
     u = sampling.uniform(key, ring_qp, beta)
     # store in Montgomery form (reference: MFormLvl at params.go:56); the
     # uniform draw is already "NTT-domain" by fiat (uniform either way)
     return ring_qp.to_mont(u)
+
+
+def _gen_crs(ring_qp: Ring, beta: int, seed: int, idx: int) -> jax.Array:
+    key = jax.random.fold_in(jax.random.key(seed), idx & 0xFFFFFFFF)
+    return _gen_crs_core(ring_qp, key, beta)
 
 
 def new_parameters(logn: int,
