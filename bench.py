@@ -53,14 +53,24 @@ def main():
 
     # warm up + compile
     out = ev.mul_relin_new(ct, ct, rlk)
-    jax.block_until_ready(out.ct.data)
+    _ = int(out.ct.data[0, 0, 0])  # host fetch: forces real completion
+    # (block_until_ready is not reliably blocking through the axon relay)
 
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    # measure the host-fetch round-trip overhead to subtract it
+    t0 = time.perf_counter()
+    for _ in range(4):
+        _ = int(out.ct.data[0, 0, 0])
+    fetch_ms = (time.perf_counter() - t0) / 4 * 1000.0
+
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    outs = []
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = ev.mul_relin_new(ct, ct, rlk)
-    jax.block_until_ready(out.ct.data)
-    dt_ms = (time.perf_counter() - t0) / iters * 1000.0
+        outs.append(ev.mul_relin_new(ct, ct, rlk))
+    for o in outs:
+        _ = int(o.ct.data[0, 0, 0])
+    total_ms = (time.perf_counter() - t0) * 1000.0
+    dt_ms = max(total_ms / iters - fetch_ms, 1e-6)
 
     print(json.dumps({
         "metric": f"mkckks_mulrelin_logn15_{parties}party_latency",
