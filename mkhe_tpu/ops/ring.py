@@ -42,6 +42,18 @@ def _host_tables(moduli: Tuple[int, ...], logn: int):
     ipsi_sh = np.empty((L, n), np.uint32)
     ninv = np.empty(L, np.uint32)
     ninv_sh = np.empty(L, np.uint32)
+    # stage-packed tiled twiddles for the Pallas DIF/DIT kernels:
+    #   fwd stage s (s=1..logn): pattern[j'] = omega^(2^(s-1) * j'), j' < N/2^s
+    # packed consecutively; inverse uses omega^{-...}; twist = psi^j,
+    # untwist = psi^{-j} / N.
+    wpack = np.zeros((L, n), np.uint32)
+    wpack_sh = np.zeros((L, n), np.uint32)
+    iwpack = np.zeros((L, n), np.uint32)
+    iwpack_sh = np.zeros((L, n), np.uint32)
+    twist = np.empty((L, n), np.uint32)
+    twist_sh = np.empty((L, n), np.uint32)
+    untwist = np.empty((L, n), np.uint32)
+    untwist_sh = np.empty((L, n), np.uint32)
     for i, qi in enumerate(moduli):
         qinv_neg[i], r2[i] = mm.mont_constants(qi)
         bar[i] = mm.barrett_constant(qi)
@@ -65,15 +77,52 @@ def _host_tables(moduli: Tuple[int, ...], logn: int):
         nv = pow(n, -1, qi)
         ninv[i] = nv
         ninv_sh[i] = (nv << 32) // qi
+        omega = root * root % qi
+        iomega = pow(omega, -1, qi)
+        off = 0
+        for s_ in range(1, logn + 1):
+            h = n >> s_
+            stride = 1 << (s_ - 1)
+            wf = pow(omega, stride, qi)
+            wi = pow(iomega, stride, qi)
+            cf = 1
+            ci = 1
+            for j in range(h):
+                wpack[i, off + j] = cf
+                iwpack[i, off + j] = ci
+                cf = cf * wf % qi
+                ci = ci * wi % qi
+            off += h
+        wpack_sh[i] = ((wpack[i].astype(object) << 32) // qi
+                       ).astype(np.uint32)
+        iwpack_sh[i] = ((iwpack[i].astype(object) << 32) // qi
+                        ).astype(np.uint32)
+        tw = 1
+        for j in range(n):
+            twist[i, j] = tw
+            tw = tw * root % qi
+        iroot_pows = 1
+        for j in range(n):
+            untwist[i, j] = iroot_pows * nv % qi
+            iroot_pows = iroot_pows * iroot % qi
+        twist_sh[i] = ((twist[i].astype(object) << 32) // qi
+                       ).astype(np.uint32)
+        untwist_sh[i] = ((untwist[i].astype(object) << 32) // qi
+                         ).astype(np.uint32)
     return dict(q=q, qinv_neg=qinv_neg, r2=r2, bar=bar, psi=psi,
                 psi_sh=psi_sh, ipsi=ipsi, ipsi_sh=ipsi_sh, ninv=ninv,
-                ninv_sh=ninv_sh)
+                ninv_sh=ninv_sh, wpack=wpack, wpack_sh=wpack_sh,
+                iwpack=iwpack, iwpack_sh=iwpack_sh, twist=twist,
+                twist_sh=twist_sh, untwist=untwist,
+                untwist_sh=untwist_sh)
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["q", "qinv_neg", "r2", "bar", "psi", "psi_sh", "ipsi",
-                 "ipsi_sh", "ninv", "ninv_sh"],
+                 "ipsi_sh", "ninv", "ninv_sh", "wpack", "wpack_sh",
+                 "iwpack", "iwpack_sh", "twist", "twist_sh", "untwist",
+                 "untwist_sh"],
     meta_fields=["moduli", "logn"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -96,6 +145,14 @@ class Ring:
     ipsi_sh: jax.Array
     ninv: jax.Array
     ninv_sh: jax.Array
+    wpack: jax.Array
+    wpack_sh: jax.Array
+    iwpack: jax.Array
+    iwpack_sh: jax.Array
+    twist: jax.Array
+    twist_sh: jax.Array
+    untwist: jax.Array
+    untwist_sh: jax.Array
 
     # -- construction -------------------------------------------------------
 
@@ -121,7 +178,8 @@ class Ring:
                     r2=self.r2[lo:hi], bar=self.bar[lo:hi],
                     psi=self.psi[lo:hi], psi_sh=self.psi_sh[lo:hi],
                     ipsi=self.ipsi[lo:hi], ipsi_sh=self.ipsi_sh[lo:hi],
-                    ninv=self.ninv[lo:hi], ninv_sh=self.ninv_sh[lo:hi])
+                    ninv=self.ninv[lo:hi], ninv_sh=self.ninv_sh[lo:hi],
+                    wpack=self.wpack[lo:hi], wpack_sh=self.wpack_sh[lo:hi], iwpack=self.iwpack[lo:hi], iwpack_sh=self.iwpack_sh[lo:hi], twist=self.twist[lo:hi], twist_sh=self.twist_sh[lo:hi], untwist=self.untwist[lo:hi], untwist_sh=self.untwist_sh[lo:hi])
 
     def concat(self, other: "Ring") -> "Ring":
         """Ring over moduli ++ other.moduli (the QP ring trick: since every
@@ -137,7 +195,8 @@ class Ring:
                     ipsi=cat(self.ipsi, other.ipsi),
                     ipsi_sh=cat(self.ipsi_sh, other.ipsi_sh),
                     ninv=cat(self.ninv, other.ninv),
-                    ninv_sh=cat(self.ninv_sh, other.ninv_sh))
+                    ninv_sh=cat(self.ninv_sh, other.ninv_sh),
+                    wpack=cat(self.wpack, other.wpack), wpack_sh=cat(self.wpack_sh, other.wpack_sh), iwpack=cat(self.iwpack, other.iwpack), iwpack_sh=cat(self.iwpack_sh, other.iwpack_sh), twist=cat(self.twist, other.twist), twist_sh=cat(self.twist_sh, other.twist_sh), untwist=cat(self.untwist, other.untwist), untwist_sh=cat(self.untwist_sh, other.untwist_sh))
 
     # -- broadcast helpers --------------------------------------------------
 
@@ -186,8 +245,14 @@ class Ring:
 
         Input standard coefficient order, output bit-reversed evaluation
         order. If reduce_input, inputs may be any u32 (lazy) and are
-        Barrett-reduced first.
+        Barrett-reduced first. On TPU this dispatches to the fused Pallas
+        kernel (ops/ntt_pallas.py), bit-identical to the jnp path below.
         """
+        from .. import config
+        if config.pallas_ntt_enabled(self.logn):
+            from . import ntt_pallas
+            return ntt_pallas.ntt_batched(self, a, inverse=False,
+                                          reduce_input=reduce_input)
         if reduce_input:
             a = self.reduce(a)
         n = self.n
@@ -212,6 +277,11 @@ class Ring:
 
     def intt(self, a, reduce_input: bool = False):
         """Inverse negacyclic NTT (bit-reversed in, standard out)."""
+        from .. import config
+        if config.pallas_ntt_enabled(self.logn):
+            from . import ntt_pallas
+            return ntt_pallas.ntt_batched(self, a, inverse=True,
+                                          reduce_input=reduce_input)
         if reduce_input:
             a = self.reduce(a)
         n = self.n
