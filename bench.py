@@ -25,6 +25,11 @@ def main():
     parties = int(os.environ.get("BENCH_PARTIES", "4"))
     import numpy as np
     import jax
+    # persistent compilation cache: Mosaic/XLA binaries for the big logN=15
+    # kernels compile once per machine, later runs start in seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_mkhe"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from mkhe_tpu import mkrlwe, mkckks
 

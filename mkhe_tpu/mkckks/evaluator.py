@@ -88,11 +88,13 @@ def _rescale_core(rp, data, nb):
     return basis.div_round_by_last_moduli(data, ring, nb)
 
 
-@functools.partial(jax.jit, static_argnames=("level", "use_h0", "use_h1"))
-def _mul_relin_core(rp, ct0, ct1, b, d, v, level, h0, h1, use_h0, use_h1):
+@functools.partial(jax.jit,
+                   static_argnames=("level", "use_h0", "use_h1", "square"))
+def _mul_relin_core(rp, ct0, ct1, b, d, v, level, h0, h1, use_h0, use_h1,
+                    square=False):
     return ksw.mul_and_relin(rp, ct0, ct1, (b, d, v), level,
                              h0 if use_h0 else None,
-                             h1 if use_h1 else None)
+                             h1 if use_h1 else None, square=square)
 
 
 @functools.partial(jax.jit, static_argnames=("rot_idx", "use_h"))
@@ -233,6 +235,8 @@ class Evaluator:
 
     def mul_relin_hoisted_new(self, ct0: Ciphertext, ct1: Ciphertext,
                               h0, h1, rlk_set) -> Ciphertext:
+        square = ct0 is ct1 or (ct0.ct.data is ct1.ct.data
+                                and ct0.ids == ct1.ids)
         ct0a, ct1a, level = self._align_levels(ct0, ct1)
         ids = union_ids(ct0.ids, ct1.ids)
         b, d, v = rlk_set.stacked(ids)
@@ -241,7 +245,8 @@ class Evaluator:
             self.params.rlwe, ct0a.ct, ct1a.ct, b, d, v, level,
             h0 if h0 is not None else dummy,
             h1 if h1 is not None else dummy,
-            h0 is not None, h1 is not None)
+            h0 is not None, h1 is not None,
+            square=square and (h0 is h1))
         res = Ciphertext(ct=out, scale=ct0.scale * ct1.scale)
         return self.rescale(res)
 

@@ -156,7 +156,8 @@ def mul_and_relin(params: Parameters, ct0: Ciphertext, ct1: Ciphertext,
                   rlk_stacked: Tuple[jax.Array, jax.Array, jax.Array],
                   level: int,
                   h0: Optional[HoistedCiphertext] = None,
-                  h1: Optional[HoistedCiphertext] = None) -> Ciphertext:
+                  h1: Optional[HoistedCiphertext] = None,
+                  square: bool = False) -> Ciphertext:
     """The KKLSS multi-key multiplication with relinearization
     (keyswitch.go:122-230 / keyswitch_hoisted.go:44-179):
 
@@ -170,12 +171,17 @@ def mul_and_relin(params: Parameters, ct0: Ciphertext, ct1: Ciphertext,
     ids0, ids1 = ct0.ids, ct1.ids
     ids = union_ids(ids0, ids1)
     ring_q = params.ring_q_at(level)
+    square = square or (ct0.data is ct1.data and ids0 == ids1)
 
     d0 = ct0.data[..., :level + 1, :]
-    d1 = ct1.data[..., :level + 1, :]
+    d1 = d0 if square else ct1.data[..., :level + 1, :]
 
     dec0 = h0.digits if h0 is not None else decompose(params, d0[1:], level)
-    dec1 = h1.digits if h1 is not None else decompose(params, d1[1:], level)
+    if square and (h1 is None or h1 is h0 or h1.digits is dec0):
+        dec1 = dec0
+    else:
+        dec1 = (h1.digits if h1 is not None
+                else decompose(params, d1[1:], level))
 
     b_all, d_all, v_all = rlk_stacked  # each (k_union, beta, Lqp, N)
     sel0 = np.array([ids.index(i) for i in ids0])
@@ -191,7 +197,7 @@ def mul_and_relin(params: Parameters, ct0: Ciphertext, ct1: Ciphertext,
 
     # tensor terms (NTT over Q limbs only)
     nt0 = ring_q.ntt(d0)
-    nt1 = ring_q.ntt(d1)
+    nt1 = nt0 if square else ring_q.ntt(d1)
     nt0_0m = ring_q.to_mont(nt0[0])
     nt1_0m = ring_q.to_mont(nt1[0])
 
