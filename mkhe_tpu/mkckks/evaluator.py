@@ -59,25 +59,22 @@ def _sub_core(rp, a_data, b_data, map_a, map_b):
     return jnp.stack(out)
 
 
-@functools.partial(jax.jit, static_argnames=("sr", "si", "level"))
-def _mult_const_core(rp, data, sr, si, level):
+@functools.partial(jax.jit, static_argnames=("has_r", "has_i", "level"))
+def _mult_const_core(rp, data, sr_mont, si_mont, has_r, has_i, level):
     """data * (sr + si*X^{N/2}) — multiplication by a scaled complex
-    constant in coefficient domain; X^{N/2} is the image of i."""
+    constant in coefficient domain; X^{N/2} is the image of i. The
+    per-limb Montgomery scalars arrive as data so one graph serves all
+    constants."""
     ring = rp.ring_q_at(level)
-    from ..ops import modmath as mm
     out = None
-    if sr != 0:
-        s = jnp.asarray([mm.to_mont_host(sr % q, q)
-                         for q in ring.moduli], jnp.uint32)
-        out = ring.mul_scalar_mont(data, s)
-    if si != 0:
+    if has_r:
+        out = ring.mul_scalar_mont(data, sr_mont)
+    if has_i:
         n = data.shape[-1]
         rolled = jnp.roll(data, n // 2, axis=-1)
         idx = jnp.arange(n) < n // 2
         rolled = jnp.where(idx, ring.neg(rolled), rolled)
-        s = jnp.asarray([mm.to_mont_host(si % q, q)
-                         for q in ring.moduli], jnp.uint32)
-        term = ring.mul_scalar_mont(rolled, s)
+        term = ring.mul_scalar_mont(rolled, si_mont)
         out = term if out is None else ring.add(out, term)
     return data if out is None else out
 
@@ -97,9 +94,10 @@ def _mul_relin_core(rp, ct0, ct1, b, d, v, level, h0, h1, use_h0, use_h1,
                              h1 if use_h1 else None, square=square)
 
 
-@functools.partial(jax.jit, static_argnames=("rot_idx", "use_h"))
-def _rotate_core(rp, ct, rot_idx, rks, h, use_h):
-    return ksw.rotate(rp, ct, rot_idx, rks, h if use_h else None)
+@functools.partial(jax.jit, static_argnames=("use_h",))
+def _rotate_core(rp, ct, rks, a_crs, perm_src, perm_sign, h, use_h):
+    return ksw.rotate_with(rp, ct, rks, a_crs, perm_src, perm_sign,
+                           h if use_h else None)
 
 
 @jax.jit
@@ -120,6 +118,14 @@ def _hoist_core(rp, party_data, level):
 
 
 # ----------------------------------------------------------------------------
+
+
+def _dummy_hoisted(ct):
+    """Placeholder hoisted pytree for the unused branch of _rotate_core
+    (jit requires a consistent pytree structure)."""
+    import jax.numpy as _jnp
+    return mkrlwe.HoistedCiphertext(
+        ids=ct.ids, digits=_jnp.zeros((len(ct.ids), 1, 1, 1), _jnp.uint32))
 
 
 class Evaluator:
@@ -187,7 +193,14 @@ class Evaluator:
             scale = float(self.params.rlwe.q_moduli[level])
         sr = int(round(c.real * scale))
         si = int(round(c.imag * scale))
-        data = _mult_const_core(self.params.rlwe, ct.ct.data, sr, si, level)
+        from ..ops import modmath as mm
+        moduli = self.params.rlwe.q_moduli[:level + 1]
+        sr_mont = jnp.asarray([mm.to_mont_host(sr % q, q) for q in moduli],
+                              jnp.uint32)
+        si_mont = jnp.asarray([mm.to_mont_host(si % q, q) for q in moduli],
+                              jnp.uint32)
+        data = _mult_const_core(self.params.rlwe, ct.ct.data, sr_mont,
+                                si_mont, sr != 0, si != 0, level)
         return Ciphertext(ct=RCt(ids=ct.ids, data=data),
                           scale=ct.scale * scale)
 
@@ -263,6 +276,17 @@ class Evaluator:
 
     # -- rotations ----------------------------------------------------------
 
+    def _rotate(self, ct: Ciphertext, rot_idx: int, rtk_set, h):
+        """Single compiled rotation graph per (ids, level): the rotation
+        index only enters through data (keys, CRS, permutation tables)."""
+        rp = self.params.rlwe
+        rks = rtk_set.stacked(ct.ids, rot_idx)
+        a = rp.crs_at(rot_idx, ct.level)
+        src, sign = ksw.rotation_tables(rp, rot_idx)
+        return _rotate_core(rp, ct.ct, rks, a, src, sign,
+                            h if h is not None else _dummy_hoisted(ct),
+                            h is not None)
+
     def _normalize_rot(self, rot_idx: int) -> int:
         nh = self.params.n // 2
         return rot_idx % nh
@@ -273,9 +297,7 @@ class Evaluator:
         if rot_idx == 0:
             return ct
         if rot_idx in self.params.rlwe.crs:
-            rks = rtk_set.stacked(ct.ids, rot_idx)
-            out = _rotate_core(self.params.rlwe, ct.ct, rot_idx, rks,
-                               None, False)
+            out = self._rotate(ct, rot_idx, rtk_set, None)
             return Ciphertext(ct=out, scale=ct.scale)
         # power-of-two decomposition fallback (evaluator.go:516-524)
         cur = ct
@@ -295,8 +317,7 @@ class Evaluator:
         if rot_idx not in self.params.rlwe.crs:
             raise KeyError("hoisted rotation needs a precomputed CRS "
                            "(reference panics too, evaluator.go:615)")
-        rks = rtk_set.stacked(ct.ids, rot_idx)
-        out = _rotate_core(self.params.rlwe, ct.ct, rot_idx, rks, h, True)
+        out = self._rotate(ct, rot_idx, rtk_set, h)
         return Ciphertext(ct=out, scale=ct.scale)
 
     def conjugate_new(self, ct: Ciphertext, cjk_set) -> Ciphertext:

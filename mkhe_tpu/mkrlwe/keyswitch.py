@@ -235,6 +235,37 @@ def mul_and_relin(params: Parameters, ct0: Ciphertext, ct1: Ciphertext,
 # Rotate / Conjugate
 # ----------------------------------------------------------------------------
 
+def rotate_with(params: Parameters, ct: Ciphertext, rtk_stacked: jax.Array,
+                a_crs: jax.Array, perm_src: jax.Array, perm_sign: jax.Array,
+                h: Optional[HoistedCiphertext] = None) -> Ciphertext:
+    """Rotation core with the rotation-specific data (rotation keys, CRS,
+    and the coefficient-domain Galois permutation tables) passed as
+    arrays, so one compiled graph serves every rotation index."""
+    level = ct.level
+    ring_q = params.ring_q_at(level)
+    dec = h.digits if h is not None else decompose(params, ct.data[1:], level)
+    rks = slice_swk(params, rtk_stacked, level)
+
+    c0 = ring_q.add(ct.data[0], mod_down_qp(
+        params, _sum_parties_ntt(params, dec, rks, level), level))
+    ci = external_product(params, dec, a_crs, level)
+    out = jnp.concatenate([c0[None], ci], axis=0)
+
+    g = jnp.take(out, perm_src, axis=-1)
+    out = jnp.where(perm_sign[None, :] == 1, ring_q.neg(g), g)
+    return Ciphertext(ids=ct.ids, data=out)
+
+
+def rotation_tables(params: Parameters, rot_idx: int):
+    """Host-side per-rotation data for rotate_with: (gal perm_src,
+    perm_sign) for the coefficient-domain map X -> X^g with sign fold
+    (keyswitch.go:266-296)."""
+    from ..ops.ring import _coeff_perm_host
+    gal = galois_element_rot(rot_idx, params.n)
+    src, sign = _coeff_perm_host(params.logn, gal)
+    return jnp.asarray(src), jnp.asarray(sign)
+
+
 def rotate(params: Parameters, ct: Ciphertext, rot_idx: int,
            rtk_stacked: jax.Array,
            h: Optional[HoistedCiphertext] = None) -> Ciphertext:
@@ -242,22 +273,11 @@ def rotate(params: Parameters, ct: Ciphertext, rot_idx: int,
       out_0 = ct_0 + sum_i Ext(ct_i, rtk_i);  out_i = Ext(ct_i, a_rot)
       then apply the coefficient-domain Galois map X -> X^g with sign fold.
     """
-    level = ct.level
     while rot_idx < 0:
         rot_idx += params.n // 2
-    ring_q = params.ring_q_at(level)
-    dec = h.digits if h is not None else decompose(params, ct.data[1:], level)
-    rks = slice_swk(params, rtk_stacked, level)
-    a = params.crs_at(rot_idx, level)
-
-    c0 = ring_q.add(ct.data[0], mod_down_qp(
-        params, _sum_parties_ntt(params, dec, rks, level), level))
-    ci = external_product(params, dec, a, level)
-    out = jnp.concatenate([c0[None], ci], axis=0)
-
-    gal = galois_element_rot(rot_idx, params.n)
-    out = ring_q.permute_coeffs(out, gal)
-    return Ciphertext(ids=ct.ids, data=out)
+    a = params.crs_at(rot_idx, ct.level)
+    src, sign = rotation_tables(params, rot_idx)
+    return rotate_with(params, ct, rtk_stacked, a, src, sign, h)
 
 
 def conjugate(params: Parameters, ct: Ciphertext,
