@@ -79,8 +79,12 @@ class Evaluator:
         if rot_idx == 0:
             return ct
         if rot_idx in p.rlwe.crs:
+            from ..mkckks.evaluator import _rotate_core, _dummy_hoisted
             rks = rtk_set.stacked(ct.ids, rot_idx)
-            return ksw.rotate(p.rlwe, ct, rot_idx, rks)
+            a = p.rlwe.crs_at(rot_idx, ct.level)
+            src, sign = ksw.rotation_tables(p.rlwe, rot_idx)
+            return _rotate_core(p.rlwe, ct, rks, a, src, sign,
+                                _dummy_hoisted(ct), False)
         cur = ct
         k = 1
         while rot_idx > 0:
