@@ -61,10 +61,21 @@ def new_parameters(logn: int, logslots: int, q0_bits: float,
                    p_bits: float = 28.4, p_count: int = 2) -> Parameters:
     """Build a CKKS parameter set: q0_count primes ~q0_bits for the base
     modulus, `levels` rescaling levels of limbs_per_level primes each
-    (their product ~ scale), and p_count special primes."""
+    (their product ~ scale), and p_count special primes.
+
+    With p_count=4 half-width P primes and gamma=2, the gadget digit spans
+    alpha=2 limbs (~a reference-width digit) — the faithful analog of the
+    reference's PCount=2 full-width configuration, and half the digit
+    count of p_count=2."""
     q0 = ntt_primes(logn, q0_bits, q0_count)
     lv = ntt_primes(logn, level_bits, levels * limbs_per_level)
-    p = ntt_primes(logn, p_bits, p_count)
+    # avoid collisions when size classes coincide: skip past earlier draws
+    skip = 0
+    if abs(p_bits - level_bits) < 0.3:
+        skip += levels * limbs_per_level
+    if abs(p_bits - q0_bits) < 0.3:
+        skip += q0_count
+    p = ntt_primes(logn, p_bits, p_count, skip=skip)
     _distinct(q0, lv, p)
     q_moduli = tuple(q0) + tuple(lv)
     rl = mkrlwe.new_parameters(logn, q_moduli, tuple(p), gamma=gamma)
@@ -78,7 +89,7 @@ def PN15QP880() -> Parameters:
     """logN=15, 14 levels: q0 ~58b + 13 x ~54b (27b pairs), P ~57b,
     scale 2^54 (reference: mkckks/mkckks_test.go:51-72)."""
     return new_parameters(15, 14, q0_bits=28.9, level_bits=27.0, levels=13,
-                          scale=2.0 ** 54, p_bits=28.4)
+                          scale=2.0 ** 54, p_bits=28.4, p_count=4)
 
 
 @functools.lru_cache(maxsize=None)
@@ -86,7 +97,7 @@ def PN14QP439() -> Parameters:
     """logN=14, q0 ~58b + 5 x ~52b (26b pairs), scale 2^52
     (reference: mkckks/mkckks_test.go:73-91)."""
     return new_parameters(14, 13, q0_bits=28.9, level_bits=26.0, levels=5,
-                          scale=2.0 ** 52, p_bits=28.4)
+                          scale=2.0 ** 52, p_bits=28.4, p_count=4)
 
 
 @functools.lru_cache(maxsize=None)
@@ -94,4 +105,4 @@ def PN14QP433_CNN() -> Parameters:
     """logN=14, q0 ~57b + 6 x ~47b (23.5b pairs), scale 2^47
     (reference: cnn/cnn_test.go:80-97)."""
     return new_parameters(14, 13, q0_bits=28.4, level_bits=23.5, levels=6,
-                          scale=2.0 ** 47, p_bits=28.0)
+                          scale=2.0 ** 47, p_bits=23.5, p_count=4)

@@ -1,0 +1,80 @@
+"""alpha=2 gadget configuration (p_count=4, gamma=2 -> two-limb digits,
+the faithful analog of the reference's PCount=2/gamma=2): end-to-end
+mult+relin and rotation correctness."""
+
+import numpy as np
+import pytest
+
+from mkhe_tpu import mkrlwe, mkckks
+
+rng = np.random.default_rng(12)
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    params = mkckks.new_parameters(
+        9, 8, q0_bits=28.9, level_bits=20.0, levels=3, scale=2.0 ** 40,
+        p_bits=28.0, p_count=4)
+    assert params.rlwe.alpha == 2
+    kgen = mkrlwe.KeyGenerator(params.rlwe, seed=71)
+    sk_set = mkrlwe.SecretKeySet()
+    pk_set = mkrlwe.PublicKeySet()
+    rlk_set = mkrlwe.RelinearizationKeySet()
+    rtk_set = mkrlwe.RotationKeySet()
+    for uid in ("user0", "user1"):
+        sk, pk = kgen.gen_key_pair(uid)
+        r = kgen.gen_secret_key(uid)
+        sk_set.add(sk)
+        pk_set.add(pk)
+        rlk_set.add(kgen.gen_relinearization_key(sk, r))
+        rtk_set.add(kgen.gen_rotation_key(4, sk))
+    enc = mkckks.Encryptor(params, seed=72)
+    dec = mkckks.Decryptor(params)
+    ev = mkckks.Evaluator(params)
+    return dict(params=params, sk=sk_set, pk=pk_set, rlk=rlk_set,
+                rtk=rtk_set, enc=enc, dec=dec, ev=ev)
+
+
+def _msg(params, lo, hi):
+    return mkckks.Message(
+        value=rng.uniform(lo, hi, params.slots)
+        + 1j * rng.uniform(lo, hi, params.slots))
+
+
+def test_mul_relin_alpha2(ctx):
+    params, ev = ctx["params"], ctx["ev"]
+    m1 = _msg(params, -0.5, 0.5)
+    m2 = _msg(params, -0.5, 0.5)
+    ct1 = ctx["enc"].encrypt_msg(m1, ctx["pk"].get("user0"))
+    ct2 = ctx["enc"].encrypt_msg(m2, ctx["pk"].get("user1"))
+    out = ctx["dec"].decrypt(ev.mul_relin_new(ct1, ct2, ctx["rlk"]),
+                             ctx["sk"])
+    err = np.max(np.abs(out.value - m1.value * m2.value))
+    import math
+    assert math.log2(max(err, 1e-300)) <= \
+        -math.log2(params.scale) + params.logslots + 12
+
+
+def test_second_level_mult_alpha2(ctx):
+    """Mult at a dropped level exercises odd/partial digit blocks."""
+    params, ev = ctx["params"], ctx["ev"]
+    m = _msg(params, -0.6, 0.6)
+    ct = ctx["enc"].encrypt_msg(m, ctx["pk"].get("user0"))
+    ct2 = ev.mul_relin_new(ct, ct, ctx["rlk"])
+    ct4 = ev.mul_relin_new(ct2, ct2, ctx["rlk"])
+    out = ctx["dec"].decrypt(ct4, ctx["sk"])
+    err = np.max(np.abs(out.value - m.value ** 4))
+    import math
+    assert math.log2(max(err, 1e-300)) <= \
+        -math.log2(params.scale) + params.logslots + 14
+
+
+def test_rotate_alpha2(ctx):
+    params, ev = ctx["params"], ctx["ev"]
+    m = _msg(params, -0.5, 0.5)
+    ct = ctx["enc"].encrypt_msg(m, ctx["pk"].get("user0"))
+    out = ctx["dec"].decrypt(ev.rotate_new(ct, 4, ctx["rtk"]), ctx["sk"])
+    err = np.max(np.abs(out.value - np.roll(m.value, -4)))
+    import math
+    assert math.log2(max(err, 1e-300)) <= \
+        -math.log2(params.scale) + params.logslots + 11
