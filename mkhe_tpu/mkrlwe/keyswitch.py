@@ -56,6 +56,24 @@ def slice_swk(params: Parameters, swk: jax.Array, level: int) -> jax.Array:
     return swk[..., :beta, :, :][..., sel, :]
 
 
+def slice_digits(params: Parameters, digits: jax.Array, level: int
+                 ) -> jax.Array:
+    """Slice hoisted decomposition digits (…, beta_h, (lh+1)+Lp, N)
+    computed at a higher level lh down to `level`: keep the first
+    beta(level) digits and the level's Q limbs + P limbs. Valid because
+    digit d only depends on source limbs [d*alpha, (d+1)*alpha) — the
+    reference gets the same effect from level-bounded loops over its
+    full-size hoisted buffers (keyswitch_hoisted.go:24-31)."""
+    from_level = digits.shape[-2] - params.pcount - 1
+    if from_level == level:
+        return digits
+    beta = params.beta(level)
+    sel = np.concatenate([
+        np.arange(level + 1),
+        np.arange(from_level + 1, from_level + 1 + params.pcount)])
+    return digits[..., :beta, :, :][..., sel, :]
+
+
 # ----------------------------------------------------------------------------
 # External products
 # ----------------------------------------------------------------------------
@@ -176,11 +194,12 @@ def mul_and_relin(params: Parameters, ct0: Ciphertext, ct1: Ciphertext,
     d0 = ct0.data[..., :level + 1, :]
     d1 = d0 if square else ct1.data[..., :level + 1, :]
 
-    dec0 = h0.digits if h0 is not None else decompose(params, d0[1:], level)
+    dec0 = (slice_digits(params, h0.digits, level) if h0 is not None
+            else decompose(params, d0[1:], level))
     if square and (h1 is None or h1 is h0 or h1.digits is dec0):
         dec1 = dec0
     else:
-        dec1 = (h1.digits if h1 is not None
+        dec1 = (slice_digits(params, h1.digits, level) if h1 is not None
                 else decompose(params, d1[1:], level))
 
     b_all, d_all, v_all = rlk_stacked  # each (k_union, beta, Lqp, N)
@@ -243,7 +262,8 @@ def rotate_with(params: Parameters, ct: Ciphertext, rtk_stacked: jax.Array,
     arrays, so one compiled graph serves every rotation index."""
     level = ct.level
     ring_q = params.ring_q_at(level)
-    dec = h.digits if h is not None else decompose(params, ct.data[1:], level)
+    dec = (slice_digits(params, h.digits, level) if h is not None
+           else decompose(params, ct.data[1:], level))
     rks = slice_swk(params, rtk_stacked, level)
 
     c0 = ring_q.add(ct.data[0], mod_down_qp(
