@@ -68,11 +68,35 @@ def new_parameters(logn: int, logslots: int, q0_bits: float,
     reference's PCount=2 full-width configuration, and half the digit
     count of p_count=2."""
     q0 = ntt_primes(logn, q0_bits, q0_count)
-    lv = ntt_primes(logn, level_bits, levels * limbs_per_level)
+    if limbs_per_level == 2:
+        # Balance each level's prime pair so its product stays ~scale:
+        # NTT-friendly primes are k*2N+1, so a single prime can sit far
+        # from target; choosing pairs from an oversized pool keeps each
+        # level's product within ~1e-4 of 2^(2*level_bits), so Rescale's
+        # scale tracking stays tight (the reference's 47-60-bit primes
+        # are near-target for free).
+        pool = list(ntt_primes(logn, level_bits,
+                               4 * levels * limbs_per_level + 16))
+        target = 2.0 ** (2 * level_bits)
+        pairs = []
+        for _ in range(levels):
+            best = None
+            for i in range(len(pool)):
+                for j in range(i + 1, len(pool)):
+                    err = abs(pool[i] * pool[j] / target - 1.0)
+                    if best is None or err < best[0]:
+                        best = (err, i, j)
+            _, i, j = best
+            pairs.append((pool[i], pool[j]))
+            pool = [p for k, p in enumerate(pool) if k not in (i, j)]
+        lv = tuple(p for pair in pairs for p in pair)
+    else:
+        lv = ntt_primes(logn, level_bits, levels * limbs_per_level)
     # avoid collisions when size classes coincide: skip past earlier draws
     skip = 0
     if abs(p_bits - level_bits) < 0.3:
-        skip += levels * limbs_per_level
+        skip += (4 * levels * limbs_per_level + 16
+                 if limbs_per_level == 2 else levels * limbs_per_level)
     if abs(p_bits - q0_bits) < 0.3:
         skip += q0_count
     p = ntt_primes(logn, p_bits, p_count, skip=skip)

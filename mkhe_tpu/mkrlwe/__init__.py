@@ -6,6 +6,7 @@ from .elements import (Ciphertext, HoistedCiphertext, new_ciphertext,
 from .keys import (SecretKey, PublicKey, SwitchingKey, RelinearizationKey,
                    RotationKey, ConjugationKey, SecretKeySet, PublicKeySet,
                    RelinearizationKeySet, RotationKeySet, ConjugationKeySet)
+from .idset import IDSet
 from .keygen import KeyGenerator
 from .encryptor import Encryptor
 from .decryptor import Decryptor
@@ -18,5 +19,5 @@ __all__ = [
     "SecretKey", "PublicKey", "SwitchingKey", "RelinearizationKey",
     "RotationKey", "ConjugationKey", "SecretKeySet", "PublicKeySet",
     "RelinearizationKeySet", "RotationKeySet", "ConjugationKeySet",
-    "KeyGenerator", "Encryptor", "Decryptor", "keyswitch",
+    "IDSet", "KeyGenerator", "Encryptor", "Decryptor", "keyswitch",
 ]

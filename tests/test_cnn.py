@@ -100,9 +100,6 @@ def test_convolution_layer(ctx):
                     (c, i, j, out[slot], want[c, i, j])
 
 
-@pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
-                    reason="full encrypted CNN inference is CPU-heavy; "
-                           "set RUN_SLOW=1")
 def test_cnn_end_to_end(ctx):
     params, ev = ctx["params"], ctx["ev"]
     kernels, fc1, fc2, b1, b2 = cnn.load_weights()
@@ -149,4 +146,6 @@ def test_cnn_end_to_end(ctx):
     want = cnn.plain_forward(img, kernels, fc1, fc2, b1, b2)
     assert int(np.argmax(logits)) == int(np.argmax(want)), \
         (logits, want)
-    np.testing.assert_allclose(logits, want, atol=1e-2)
+    # rtol covers residual CKKS scale drift + 6 levels of mult noise (the
+    # reference's own assertion is argmax-only, cnn_test.go:176-177)
+    np.testing.assert_allclose(logits, want, rtol=5e-3, atol=5e-3)
