@@ -42,11 +42,17 @@ class KeyGenerator(mkrlwe.KeyGenerator):
         for q in p.rlwe.p_moduli:
             P *= q
         QQMul = Q * QMul
+        alpha = p.rlwe.alpha
+        beta = p.rlwe.beta(p.max_level)
         out = []
-        for b_i in list(p.rlwe.q_moduli) + list(p.qmul_moduli):
-            g = QQMul // b_i
-            ti = pow(g % b_i, -1, b_i)
-            out.append(p.t * P * g * ti // QMul)
+        for half in (list(p.rlwe.q_moduli), list(p.qmul_moduli)):
+            for i in range(beta):
+                b_i = 1
+                for qq in half[i * alpha:(i + 1) * alpha]:
+                    b_i *= qq
+                g = QQMul // b_i
+                ti = pow(g % b_i, -1, b_i)
+                out.append(p.t * P * g * ti // QMul)
         return out  # 2*beta python ints
 
     def gen_bfv_switching_key(self, sk: mkrlwe.SecretKey) -> jnp.ndarray:

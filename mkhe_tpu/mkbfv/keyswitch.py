@@ -25,12 +25,13 @@ from . import basis as bfv_basis
 
 
 def decompose_bfv(params: Parameters, x_r: jax.Array) -> jax.Array:
-    """R-basis coeff-domain (..., 2Lq, N) -> NTT digits (..., 2beta, Lqp, N).
-    """
+    """R-basis coeff-domain (..., 2Lq, N) -> NTT digits (..., 2beta, Lqp, N),
+    alpha source limbs per digit (Q-half digits first, then QMul-half)."""
     rp = params.rlwe
     ring_qp = rp.ring_qp
-    digits = rns_basis.decompose_digits(x_r, params.ring_r, ring_qp, 1)
-    return ring_qp.ntt(digits, reduce_input=True)
+    digits = rns_basis.decompose_digits(x_r, params.ring_r, ring_qp,
+                                        rp.alpha)
+    return ring_qp.ntt(digits, reduce_input=(rp.alpha == 1))
 
 
 def mul_and_relin_bfv(params: Parameters, ct0r: Ciphertext,

@@ -64,6 +64,10 @@ def new_parameters(logn: int, q_moduli, qmul_moduli, p_moduli,
                    t: int = 65537, gamma: int = 2) -> Parameters:
     assert len(q_moduli) == len(qmul_moduli), \
         "Q and QMul must have equal length (mkbfv/params.go:38-40)"
+    alpha = max(1, len(p_moduli) // gamma)
+    assert len(q_moduli) % alpha == 0, \
+        "limb count must be a multiple of alpha (digit blocks must not " \
+        "straddle the Q/QMul boundary of R)"
     rl = mkrlwe.new_parameters(logn, tuple(q_moduli), tuple(p_moduli),
                                gamma=gamma)
     params = Parameters(rlwe=rl, qmul_moduli=tuple(qmul_moduli), t=t)
@@ -80,7 +84,7 @@ def PN15QP880() -> Parameters:
     logn = 15
     q = ntt_primes(logn, 27.3, 28)
     qmul = ntt_primes(logn, 27.3, 28, skip=28)
-    p = ntt_primes(logn, 28.4, 2)
+    p = ntt_primes(logn, 28.4, 4)
     return new_parameters(logn, q, qmul, p)
 
 
@@ -91,5 +95,5 @@ def PN14QP439() -> Parameters:
     logn = 14
     q = ntt_primes(logn, 26.6, 12)
     qmul = ntt_primes(logn, 26.6, 12, skip=12)
-    p = ntt_primes(logn, 28.4, 2)
+    p = ntt_primes(logn, 28.4, 4)
     return new_parameters(logn, q, qmul, p)

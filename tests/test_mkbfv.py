@@ -108,3 +108,31 @@ def test_rotate(params, ctx):
     want = np.concatenate([np.roll(_cmod(m)[:nh], -1),
                            np.roll(_cmod(m)[nh:], -1)])
     np.testing.assert_array_equal(out, want)
+
+
+def test_mul_relin_exact_alpha2():
+    """BFV with alpha=2 digits (p_count=4): exact 2-party mult."""
+    from mkhe_tpu.ops.primes import ntt_primes
+    q = ntt_primes(LOGN, 26.5, 6, skip=10)
+    qmul = ntt_primes(LOGN, 26.5, 6, skip=16)
+    p = ntt_primes(LOGN, 28.0, 4)
+    params = mkbfv.new_parameters(LOGN, q, qmul, p, t=T)
+    assert params.rlwe.alpha == 2
+    kgen = mkbfv.KeyGenerator(params, seed=33)
+    sk_set = mkrlwe.SecretKeySet()
+    rlk_set = mkbfv.RelinearizationKeySet()
+    pks = {}
+    for uid in ("a", "b"):
+        sk, pk = kgen.gen_key_pair(uid)
+        r = kgen.gen_secret_key(uid)
+        sk_set.add(sk)
+        rlk_set.add(kgen.gen_relinearization_key_bfv(sk, r))
+        pks[uid] = pk
+    enc = mkbfv.Encryptor(params, seed=34)
+    dec = mkbfv.Decryptor(params)
+    ev = mkbfv.Evaluator(params)
+    m1, m2 = _rand_msg(params), _rand_msg(params)
+    ct1 = enc.encrypt_msg(m1, pks["a"])
+    ct2 = enc.encrypt_msg(m2, pks["b"])
+    out = dec.decrypt(ev.mul_relin_new(ct1, ct2, rlk_set), sk_set)
+    np.testing.assert_array_equal(out, _cmod(m1 * m2))
