@@ -56,26 +56,52 @@ def main():
         c = enc.encrypt_msg(msg, pks[f"user{i}"])
         ct = c if ct is None else ev.add_new(ct, c)
 
-    # warm up + compile
-    out = ev.mul_relin_new(ct, ct, rlk)
-    _ = int(out.ct.data[0, 0, 0])  # host fetch: forces real completion
-    # (block_until_ready is not reliably blocking through the axon relay)
+    # Timing protocol: run K full mult+relin+rescale pipelines INSIDE one
+    # jit graph, chained by a zero-valued data dependency, ending in a
+    # single host fetch. This amortizes dispatch/fetch overheads of the
+    # axon relay (block_until_ready is not reliably blocking through it)
+    # over K real sequential executions on the device.
+    import dataclasses
+    import functools
+    import jax.numpy as jnp
+    from mkhe_tpu.mkrlwe import keyswitch as _ksw
+    from mkhe_tpu.ops import basis as _basis
 
-    # measure the host-fetch round-trip overhead to subtract it
-    t0 = time.perf_counter()
-    for _ in range(4):
-        _ = int(out.ct.data[0, 0, 0])
-    fetch_ms = (time.perf_counter() - t0) / 4 * 1000.0
-
+    rp = params.rlwe
+    level = ct.level
+    b, d, v = rlk.stacked(ct.ids)
+    rct = ct.ct
     iters = int(os.environ.get("BENCH_ITERS", "8"))
-    outs = []
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chained(data, b, d, v, k):
+        cur = data
+        out = None
+        for _ in range(k):
+            c = dataclasses.replace(rct, data=cur)
+            out = _ksw.mul_and_relin(rp, c, c, (b, d, v), level,
+                                     square=True)
+            res = _basis.div_round_by_last_moduli(
+                out.data, rp.ring_q_at(level), 2)
+            # zero-valued dependency: forces sequential execution without
+            # changing the input
+            cur = data + (res[0, 0, 0] * jnp.uint32(0))
+        return res
+
+    r1 = chained(rct.data, b, d, v, 1)
+    _ = int(r1[0, 0, 0])  # compile k=1
+    rk = chained(rct.data, b, d, v, iters)
+    _ = int(rk[0, 0, 0])  # compile k=iters
     t0 = time.perf_counter()
-    for _ in range(iters):
-        outs.append(ev.mul_relin_new(ct, ct, rlk))
-    for o in outs:
-        _ = int(o.ct.data[0, 0, 0])
-    total_ms = (time.perf_counter() - t0) * 1000.0
-    dt_ms = max(total_ms / iters - fetch_ms, 1e-6)
+    r1 = chained(rct.data, b, d, v, 1)
+    _ = int(r1[0, 0, 0])
+    t1_ms = (time.perf_counter() - t0) * 1000.0
+    t0 = time.perf_counter()
+    rk = chained(rct.data, b, d, v, iters)
+    _ = int(rk[0, 0, 0])
+    tk_ms = (time.perf_counter() - t0) * 1000.0
+    # slope: per-mult time with dispatch/fetch overhead removed
+    dt_ms = max((tk_ms - t1_ms) / (iters - 1), 1e-6)
 
     print(json.dumps({
         "metric": f"mkckks_mulrelin_logn15_{parties}party_latency",
