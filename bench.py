@@ -83,9 +83,9 @@ def main():
                                      square=True)
             res = _basis.div_round_by_last_moduli(
                 out.data, rp.ring_q_at(level), 2)
-            # zero-valued dependency: forces sequential execution without
-            # changing the input
-            cur = data + (res[0, 0, 0] * jnp.uint32(0))
+            # optimization_barrier defeats DCE/folding so all k mults
+            # actually execute, sequentially
+            cur, _ = jax.lax.optimization_barrier((data, res))
         return res
 
     r1 = chained(rct.data, b, d, v, 1)

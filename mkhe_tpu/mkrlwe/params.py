@@ -126,6 +126,22 @@ def new_parameters(logn: int,
     alpha = max(1, pcount // gamma)
     beta_max = -(-len(q_moduli) // alpha)
 
+    # KKLSS requires P >~ B^2 (B = max gadget digit modulus): MulAndRelin
+    # key-switches t = Ext(c0, y) a second time, and the t-path noise
+    # scales as B^2/P (the reference's 54-60-bit digits with ~2x-wide P
+    # satisfy this implicitly). Reject configurations that break it.
+    import math as _math
+    max_digit_bits = 0.0
+    for d0 in range(0, len(q_moduli), alpha):
+        bits = sum(_math.log2(q) for q in q_moduli[d0:d0 + alpha])
+        max_digit_bits = max(max_digit_bits, bits)
+    p_bits_total = sum(_math.log2(p) for p in p_moduli)
+    if 2 * max_digit_bits > p_bits_total + 8:
+        raise ValueError(
+            f"gadget digit too large: B ~ 2^{max_digit_bits:.0f} but "
+            f"P ~ 2^{p_bits_total:.0f}; KKLSS needs P >~ B^2 "
+            "(choose smaller alpha = PCount/gamma)")
+
     idxs = [0, -1, -2, -3, -4]
     idxs += [1 << i for i in range(logn - 1)]
     idxs += list(extra_crs)

@@ -78,3 +78,14 @@ def test_rotate_alpha2(ctx):
     import math
     assert math.log2(max(err, 1e-300)) <= \
         -math.log2(params.scale) + params.logslots + 11
+
+
+def test_alpha4_rejected():
+    """alpha=4 digits (~2^98) with P ~2^112 violate the KKLSS P >~ B^2
+    requirement (the t-path is key-switched twice; noise scales as B^2/P)
+    — parameter construction must reject it."""
+    import pytest
+    with pytest.raises(ValueError, match="digit too large"):
+        mkckks.new_parameters(
+            9, 8, q0_bits=28.9, level_bits=20.0, levels=3,
+            scale=2.0 ** 40, p_bits=28.0, p_count=4, gamma=1)
