@@ -63,7 +63,6 @@ def main():
     # over K real sequential executions on the device.
     import dataclasses
     import functools
-    import jax.numpy as jnp
     from mkhe_tpu.mkrlwe import keyswitch as _ksw
     from mkhe_tpu.ops import basis as _basis
 
@@ -83,9 +82,12 @@ def main():
                                      square=True)
             res = _basis.div_round_by_last_moduli(
                 out.data, rp.ring_q_at(level), 2)
-            # optimization_barrier defeats DCE/folding so all k mults
-            # actually execute, sequentially
-            cur, _ = jax.lax.optimization_barrier((data, res))
+            # Feed a genuine data dependency forward so XLA cannot CSE the
+            # k identical multiplies into one: XOR one output word into
+            # the next input. The chained ciphertexts decrypt to garbage,
+            # but every op is data-independent in cost, so the timing is
+            # representative (correctness is covered by the test suite).
+            cur = data ^ res[0, 0, 0]
         return res
 
     r1 = chained(rct.data, b, d, v, 1)

@@ -24,7 +24,6 @@ from ..mkrlwe.elements import Ciphertext as RCt, union_ids
 from ..ops import basis
 from .params import Parameters
 from .elements import Ciphertext
-from . import encoder as enc
 
 
 # ----------------------------------------------------------------------------

@@ -49,15 +49,13 @@ def _fwd_kernel(n, logn, x_ref, wpack_ref, wpack_sh_ref, twist_ref,
         mn = pltpu.roll(a, h, 1)      # mn[j] = a[j-h]
         first = (lane & h) == 0
         top = mm.add_mod(a, p, q)
-        if h >= 1 and s < logn + 1:
-            if h == 1:
-                # last stage twiddle is 1
-                bot = mm.sub_mod(mn, a, q)
-            else:
-                tw = pltpu.repeat(wpack_ref[:, off:off + h], n // h, axis=1)
-                tw_sh = pltpu.repeat(wpack_sh_ref[:, off:off + h],
-                                     n // h, axis=1)
-                bot = mm.shoup_mul(mm.sub_mod(mn, a, q), tw, tw_sh, q)
+        if h == 1:
+            bot = mm.sub_mod(mn, a, q)  # last stage twiddle is 1
+        else:
+            tw = pltpu.repeat(wpack_ref[:, off:off + h], n // h, axis=1)
+            tw_sh = pltpu.repeat(wpack_sh_ref[:, off:off + h],
+                                 n // h, axis=1)
+            bot = mm.shoup_mul(mm.sub_mod(mn, a, q), tw, tw_sh, q)
         a = jnp.where(first, top, bot)
         off += h
     out_ref[0] = a
