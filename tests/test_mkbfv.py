@@ -136,3 +136,27 @@ def test_mul_relin_exact_alpha2():
     ct2 = enc.encrypt_msg(m2, pks["b"])
     out = dec.decrypt(ev.mul_relin_new(ct1, ct2, rlk_set), sk_set)
     np.testing.assert_array_equal(out, _cmod(m1 * m2))
+
+
+def test_conjugate(params, ctx):
+    """BFV conjugation = row swap in the 2x(N/2) slot matrix."""
+    kgen = mkbfv.KeyGenerator(params, seed=35)
+    # conjugation keys must come from the same secret keys as ctx
+    # (regen with same kgen seed 31 would desync; use fresh parties)
+    sk_set = mkrlwe.SecretKeySet()
+    cjk_set = mkrlwe.ConjugationKeySet()
+    pks = {}
+    for uid in ("x", "y"):
+        sk, pk = kgen.gen_key_pair(uid)
+        sk_set.add(sk)
+        cjk_set.add(kgen.gen_conjugation_key(sk))
+        pks[uid] = pk
+    enc = mkbfv.Encryptor(params, seed=36)
+    dec = mkbfv.Decryptor(params)
+    ev = mkbfv.Evaluator(params)
+    m = _rand_msg(params)
+    ct = enc.encrypt_msg(m, pks["x"])
+    out = dec.decrypt(ev.conjugate_new(ct, cjk_set), sk_set)
+    nh = params.n // 2
+    want = np.concatenate([_cmod(m)[nh:], _cmod(m)[:nh]])
+    np.testing.assert_array_equal(out, want)

@@ -199,3 +199,16 @@ def test_square_then_square(params, ctx):
     ct4 = ev.mul_relin_new(ct2, ct2, ctx["rlk"])
     out = ctx["dec"].decrypt(ct4, ctx["sk"])
     _assert_close(params, out.value, m.value ** 4, 14)
+
+
+def test_mul_hoisted_one_sided(params, ctx):
+    """Hoisted mult with only one operand pre-decomposed (the reference's
+    MulRelinHoistedNew(ct, ct, hoisted, nil, ...) pattern,
+    mkckks_test.go:540)."""
+    ev = ctx["ev"]
+    m = _rand_msg(params, -0.5, 0.5)
+    ct = ctx["enc"].encrypt_msg(m, ctx["pk"].get("user0"))
+    h = ev.hoisted_form(ct)
+    out = ctx["dec"].decrypt(
+        ev.mul_relin_hoisted_new(ct, ct, h, None, ctx["rlk"]), ctx["sk"])
+    _assert_close(params, out.value, m.value * m.value, 12)
