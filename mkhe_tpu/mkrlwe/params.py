@@ -126,21 +126,23 @@ def new_parameters(logn: int,
     alpha = max(1, pcount // gamma)
     beta_max = -(-len(q_moduli) // alpha)
 
-    # KKLSS requires P >~ B^2 (B = max gadget digit modulus): MulAndRelin
-    # key-switches t = Ext(c0, y) a second time, and the t-path noise
-    # scales as B^2/P (the reference's 54-60-bit digits with ~2x-wide P
-    # satisfy this implicitly). Reject configurations that break it.
+    # KKLSS needs P comparable to B^2 (B = max gadget digit modulus):
+    # MulAndRelin key-switches t = Ext(c0, y) a second time, so the t-path
+    # noise scales as B^2/P. A moderate excess (the reference's own CNN
+    # params run at B^2/P ~ 2^20) is absorbed by the noise budget; an
+    # excess of >~ 2^40 destroys the plaintext outright — reject those.
     import math as _math
     max_digit_bits = 0.0
     for d0 in range(0, len(q_moduli), alpha):
         bits = sum(_math.log2(q) for q in q_moduli[d0:d0 + alpha])
         max_digit_bits = max(max_digit_bits, bits)
     p_bits_total = sum(_math.log2(p) for p in p_moduli)
-    if 2 * max_digit_bits > p_bits_total + 8:
+    if 2 * max_digit_bits > p_bits_total + 40:
         raise ValueError(
             f"gadget digit too large: B ~ 2^{max_digit_bits:.0f} but "
-            f"P ~ 2^{p_bits_total:.0f}; KKLSS needs P >~ B^2 "
-            "(choose smaller alpha = PCount/gamma)")
+            f"P ~ 2^{p_bits_total:.0f}; the KKLSS t-path noise B^2/P "
+            "would swamp the plaintext (choose smaller "
+            "alpha = PCount/gamma)")
 
     idxs = [0, -1, -2, -3, -4]
     idxs += [1 << i for i in range(logn - 1)]

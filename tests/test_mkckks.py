@@ -212,3 +212,35 @@ def test_mul_hoisted_one_sided(params, ctx):
     out = ctx["dec"].decrypt(
         ev.mul_relin_hoisted_new(ct, ct, h, None, ctx["rlk"]), ctx["sk"])
     _assert_close(params, out.value, m.value * m.value, 12)
+
+
+def test_eight_party_mult_and_rotate(params):
+    """8-party evaluation (BASELINE config 4's party count, scaled down to
+    the CPU test ring): add across 8 users, square, rotate."""
+    users = [f"p{i}" for i in range(8)]
+    kgen = mkrlwe.KeyGenerator(params.rlwe, seed=23)
+    sk_set = mkrlwe.SecretKeySet()
+    rlk_set = mkrlwe.RelinearizationKeySet()
+    rtk_set = mkrlwe.RotationKeySet()
+    pks = {}
+    for uid in users:
+        sk, pk = kgen.gen_key_pair(uid)
+        sk_set.add(sk)
+        rlk_set.add(kgen.gen_relinearization_key(
+            sk, kgen.gen_secret_key(uid)))
+        rtk_set.add(kgen.gen_rotation_key(2, sk))
+        pks[uid] = pk
+    enc = mkckks.Encryptor(params, seed=24)
+    dec = mkckks.Decryptor(params)
+    ev = mkckks.Evaluator(params)
+    ct = None
+    want = np.zeros(params.slots, np.complex128)
+    for uid in users:
+        m = _rand_msg(params, 0.05 / 8, 0.9 / 8)
+        c = enc.encrypt_msg(m, pks[uid])
+        ct = c if ct is None else ev.add_new(ct, c)
+        want = want + m.value
+    ct = ev.mul_relin_new(ct, ct, rlk_set)   # 8-party relin
+    ct = ev.rotate_new(ct, 2, rtk_set)       # 8-party rotation
+    out = dec.decrypt(ct, sk_set)
+    _assert_close(params, out.value, np.roll(want * want, -2), 13)
