@@ -20,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -73,18 +74,12 @@ def bench_ckks(logn: int, parties: int, iters: int):
         c = enc.encrypt_msg(m, pks[f"user{i}"])
         ct = c if ct is None else ev.add_new(ct, c)
 
+    from _timing import chained_ckks_mul_ms, chained_ckks_rotate_ms
     rows = []
     rows.append((f"mkckks_mulrelin_logn{logn}_{parties}party",
-                 _time_op(lambda: ev.mul_relin_new(ct, ct, rlk),
-                          lambda o: o.ct.data, iters)))
-    h = ev.hoisted_form(ct)
-    rows.append((f"mkckks_mulrelin_hoisted_logn{logn}_{parties}party",
-                 _time_op(lambda: ev.mul_relin_hoisted_new(ct, ct, h, h,
-                                                           rlk),
-                          lambda o: o.ct.data, iters)))
-    rows.append((f"mkckks_rotate_hoisted_logn{logn}_{parties}party",
-                 _time_op(lambda: ev.rotate_hoisted_new(ct, 1, h, rtk),
-                          lambda o: o.ct.data, iters)))
+                 chained_ckks_mul_ms(params, ct, rlk, iters)))
+    rows.append((f"mkckks_rotate_logn{logn}_{parties}party",
+                 chained_ckks_rotate_ms(params, ct, rtk, 1, iters)))
     return rows
 
 
@@ -108,9 +103,9 @@ def bench_bfv(logn: int, parties: int, iters: int):
         m = rng.integers(0, params.t, params.n, dtype=np.int64)
         c = enc.encrypt_msg(m, pks[f"user{i}"])
         ct = c if ct is None else ev.add_new(ct, c)
+    from _timing import chained_bfv_mul_ms
     return [(f"mkbfv_mulrelin_logn{logn}_{parties}party",
-             _time_op(lambda: ev.mul_relin_new(ct, ct, rlk),
-                      lambda o: o.data, iters))]
+             chained_bfv_mul_ms(params, ct, rlk, max(2, iters // 2)))]
 
 
 def main():
