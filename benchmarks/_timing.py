@@ -2,10 +2,12 @@
 
 The axon relay makes per-dispatch timing unreliable (block_until_ready is
 not honest, host fetches cost ~65 ms round trips), so every benchmark row
-runs K copies of the op inside ONE jit graph, chained through a genuine
-data dependency (XOR of one output word into the next input — costs are
-data-independent, so timing is representative), and reports the slope
-(t_K - t_1) / (K - 1).
+runs the op inside a jax.lax.fori_loop with a *dynamic* trip count k,
+chained through a genuine data dependency (XOR of one output word into
+the next input — costs are data-independent, so timing is
+representative). One compile serves every k; the reported time is the
+slope (t_k2 - t_k1) / (k2 - k1), which cancels dispatch/fetch overhead
+and amortizes measurement noise over many iterations.
 """
 
 from __future__ import annotations
@@ -16,22 +18,34 @@ import time
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 
-def slope_time_ms(run_k, iters: int) -> float:
-    """run_k(k) -> jax array; returns per-iteration ms via the slope."""
-    _ = int(np.asarray(run_k(1)).ravel()[0])      # compile k=1
-    _ = int(np.asarray(run_k(iters)).ravel()[0])  # compile k=iters
+def slope_time_ms(run_k, k1: int, k2: int) -> float:
+    """run_k(k) -> jax array; per-iteration ms via the (k1, k2) slope."""
+    _ = int(np.asarray(run_k(k1)).ravel()[0])  # compile (shared for k2)
+    _ = int(np.asarray(run_k(k2)).ravel()[0])
     t0 = time.perf_counter()
-    _ = int(np.asarray(run_k(1)).ravel()[0])
+    _ = int(np.asarray(run_k(k1)).ravel()[0])
     t1 = (time.perf_counter() - t0) * 1e3
     t0 = time.perf_counter()
-    _ = int(np.asarray(run_k(iters)).ravel()[0])
+    _ = int(np.asarray(run_k(k2)).ravel()[0])
     tk = (time.perf_counter() - t0) * 1e3
-    return max((tk - t1) / (iters - 1), 1e-6)
+    return max((tk - t1) / (k2 - k1), 1e-6)
 
 
-def chained_ckks_mul_ms(params, ct, rlk_set, iters: int = 6) -> float:
+def _looped(step):
+    """Wrap a data->data step into jit(fori_loop) with dynamic k."""
+    @jax.jit
+    def run(data, k, *args):
+        def body(i, cur):
+            return step(cur, *args)
+        return jax.lax.fori_loop(0, k, body, data)
+    return run
+
+
+def chained_ckks_mul_ms(params, ct, rlk_set, k1: int = 2, k2: int = 20
+                        ) -> float:
     from mkhe_tpu.mkrlwe import keyswitch as ksw
     from mkhe_tpu.ops import basis
 
@@ -39,24 +53,21 @@ def chained_ckks_mul_ms(params, ct, rlk_set, iters: int = 6) -> float:
     level = ct.level
     b, d, v = rlk_set.stacked(ct.ids)
     rct = ct.ct
+    data0 = rct.data
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def chained(data, b, d, v, k):
-        cur = data
-        for _ in range(k):
-            c = dataclasses.replace(rct, data=cur)
-            out = ksw.mul_and_relin(rp, c, c, (b, d, v), level,
-                                    square=True)
-            res = basis.div_round_by_last_moduli(
-                out.data, rp.ring_q_at(level), 2)
-            cur = data ^ res[0, 0, 0]
-        return res
+    def step(cur, b, d, v):
+        c = dataclasses.replace(rct, data=cur)
+        out = ksw.mul_and_relin(rp, c, c, (b, d, v), level, square=True)
+        res = basis.div_round_by_last_moduli(
+            out.data, rp.ring_q_at(level), 2)
+        return data0 ^ res[0, 0, 0]
 
-    return slope_time_ms(lambda k: chained(rct.data, b, d, v, k), iters)
+    run = _looped(step)
+    return slope_time_ms(lambda k: run(data0, k, b, d, v), k1, k2)
 
 
 def chained_ckks_rotate_ms(params, ct, rtk_set, rot_idx: int,
-                           iters: int = 6) -> float:
+                           k1: int = 2, k2: int = 50) -> float:
     from mkhe_tpu.mkrlwe import keyswitch as ksw
 
     rp = params.rlwe
@@ -65,36 +76,30 @@ def chained_ckks_rotate_ms(params, ct, rtk_set, rot_idx: int,
     a = rp.crs_at(rot_idx, ct.level)
     src, sign = ksw.rotation_tables(rp, rot_idx)
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def chained(data, rks, a, src, sign, k):
-        cur = data
-        for _ in range(k):
-            c = dataclasses.replace(rct, data=cur)
-            cur = ksw.rotate_with(rp, c, rks, a, src, sign).data
-        return cur
+    def step(cur, rks, a, src, sign):
+        c = dataclasses.replace(rct, data=cur)
+        return ksw.rotate_with(rp, c, rks, a, src, sign).data
 
-    return slope_time_ms(
-        lambda k: chained(rct.data, rks, a, src, sign, k), iters)
+    run = _looped(step)
+    return slope_time_ms(lambda k: run(rct.data, k, rks, a, src, sign),
+                         k1, k2)
 
 
-def chained_bfv_mul_ms(params, ct, rlk_set, iters: int = 4) -> float:
+def chained_bfv_mul_ms(params, ct, rlk_set, k1: int = 2, k2: int = 10
+                       ) -> float:
     from mkhe_tpu.mkbfv import basis as bfv_basis
     from mkhe_tpu.mkbfv import keyswitch as bfv_ksw
 
     b, d, v = rlk_set.stacked(ct.ids)
+    data0 = ct.data
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def chained(data, b, d, v, k):
-        cur = data
-        out = None
-        for _ in range(k):
-            c = dataclasses.replace(ct, data=cur)
-            c0r = dataclasses.replace(
-                ct, data=bfv_basis.mod_up_q_to_r(params, c.data))
-            c1r = dataclasses.replace(
-                ct, data=bfv_basis.rescale_q_to_r(params, c.data))
-            out = bfv_ksw.mul_and_relin_bfv(params, c0r, c1r, (b, d, v))
-            cur = data ^ out.data[0, 0, 0]
-        return out.data
+    def step(cur, b, d, v):
+        c0r = dataclasses.replace(
+            ct, data=bfv_basis.mod_up_q_to_r(params, cur))
+        c1r = dataclasses.replace(
+            ct, data=bfv_basis.rescale_q_to_r(params, cur))
+        out = bfv_ksw.mul_and_relin_bfv(params, c0r, c1r, (b, d, v))
+        return data0 ^ out.data[0, 0, 0]
 
-    return slope_time_ms(lambda k: chained(ct.data, b, d, v, k), iters)
+    run = _looped(step)
+    return slope_time_ms(lambda k: run(data0, k, b, d, v), k1, k2)

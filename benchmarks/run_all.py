@@ -75,11 +75,12 @@ def bench_ckks(logn: int, parties: int, iters: int):
         ct = c if ct is None else ev.add_new(ct, c)
 
     from _timing import chained_ckks_mul_ms, chained_ckks_rotate_ms
+    k2 = 10 if logn >= 15 else 40
     rows = []
     rows.append((f"mkckks_mulrelin_logn{logn}_{parties}party",
-                 chained_ckks_mul_ms(params, ct, rlk, iters)))
+                 chained_ckks_mul_ms(params, ct, rlk, k2=k2)))
     rows.append((f"mkckks_rotate_logn{logn}_{parties}party",
-                 chained_ckks_rotate_ms(params, ct, rtk, 1, iters)))
+                 chained_ckks_rotate_ms(params, ct, rtk, 1, k2=2 * k2)))
     return rows
 
 
@@ -105,7 +106,8 @@ def bench_bfv(logn: int, parties: int, iters: int):
         ct = c if ct is None else ev.add_new(ct, c)
     from _timing import chained_bfv_mul_ms
     return [(f"mkbfv_mulrelin_logn{logn}_{parties}party",
-             chained_bfv_mul_ms(params, ct, rlk, max(2, iters // 2)))]
+             chained_bfv_mul_ms(params, ct, rlk,
+                                k2=(6 if logn >= 15 else 20)))]
 
 
 def main():

@@ -35,12 +35,16 @@ LIMB_TILE = 8
 
 def _fwd_kernel(n, logn, x_ref, wpack_ref, wpack_sh_ref, twist_ref,
                 twist_sh_ref, q_ref, bar_ref, out_ref, *, reduce_input):
+    """Harvey-style lazy butterflies: values stay in [0, 2q) between
+    stages (q < 2^29 so all intermediates fit uint32); one final csub
+    restores canonical form — bit-identical to the jnp path."""
     a = x_ref[0]
     q = q_ref[:]
+    q2 = q * jnp.uint32(2)
     if reduce_input:
         a = mm.barrett_reduce(a, q, bar_ref[:])
-    # twist: a[j] *= psi^j
-    a = mm.shoup_mul(a, twist_ref[:], twist_sh_ref[:], q)
+    # twist: a[j] *= psi^j  (lazy, < 2q)
+    a = mm.shoup_mul_lazy(a, twist_ref[:], twist_sh_ref[:], q)
     lane = jax.lax.broadcasted_iota(jnp.int32, (LIMB_TILE, n), 1)
     off = 0
     for s in range(1, logn + 1):
@@ -48,23 +52,26 @@ def _fwd_kernel(n, logn, x_ref, wpack_ref, wpack_sh_ref, twist_ref,
         p = pltpu.roll(a, n - h, 1)   # p[j] = a[j+h]
         mn = pltpu.roll(a, h, 1)      # mn[j] = a[j-h]
         first = (lane & h) == 0
-        top = mm.add_mod(a, p, q)
+        top = mm.csub(a + p, q2)                  # < 2q
+        diff = mn + (q2 - a)                      # < 4q
         if h == 1:
-            bot = mm.sub_mod(mn, a, q)  # last stage twiddle is 1
+            bot = mm.csub(diff, q2)               # last stage twiddle = 1
         else:
             tw = pltpu.repeat(wpack_ref[:, off:off + h], n // h, axis=1)
             tw_sh = pltpu.repeat(wpack_sh_ref[:, off:off + h],
                                  n // h, axis=1)
-            bot = mm.shoup_mul(mm.sub_mod(mn, a, q), tw, tw_sh, q)
+            bot = mm.shoup_mul_lazy(diff, tw, tw_sh, q)  # < 2q
         a = jnp.where(first, top, bot)
         off += h
-    out_ref[0] = a
+    out_ref[0] = mm.csub(a, q)
 
 
 def _inv_kernel(n, logn, x_ref, iwpack_ref, iwpack_sh_ref, untwist_ref,
                 untwist_sh_ref, q_ref, bar_ref, out_ref, *, reduce_input):
+    """Lazy DIT (values in [0, 2q) between stages; see _fwd_kernel)."""
     a = x_ref[0]
     q = q_ref[:]
+    q2 = q * jnp.uint32(2)
     if reduce_input:
         a = mm.barrett_reduce(a, q, bar_ref[:])
     lane = jax.lax.broadcasted_iota(jnp.int32, (LIMB_TILE, n), 1)
@@ -82,16 +89,19 @@ def _inv_kernel(n, logn, x_ref, iwpack_ref, iwpack_sh_ref, untwist_ref,
         first = (lane & h) == 0
         operand = jnp.where(first, p, a)
         if h == 1:
-            v = operand
+            v = operand                           # twiddle = 1, < 2q
         else:
             o = offs[h]
             tw = pltpu.repeat(iwpack_ref[:, o:o + h], n // h, axis=1)
             tw_sh = pltpu.repeat(iwpack_sh_ref[:, o:o + h], n // h, axis=1)
-            v = mm.shoup_mul(operand, tw, tw_sh, q)
-        a = jnp.where(first, mm.add_mod(a, v, q), mm.sub_mod(mn, v, q))
+            v = mm.shoup_mul_lazy(operand, tw, tw_sh, q)  # < 2q
+        top = mm.csub(a + v, q2)                  # < 2q
+        bot = mm.csub(mn + (q2 - v), q2)          # < 2q
+        a = jnp.where(first, top, bot)
         h *= 2
-    # untwist by psi^{-j}/N
-    out_ref[0] = mm.shoup_mul(a, untwist_ref[:], untwist_sh_ref[:], q)
+    # untwist by psi^{-j}/N, restore canonical form
+    out_ref[0] = mm.csub(
+        mm.shoup_mul_lazy(a, untwist_ref[:], untwist_sh_ref[:], q), q)
 
 
 @functools.partial(jax.jit, static_argnames=("logn", "inverse",
