@@ -130,6 +130,20 @@ class KeyGenerator:
         s = sampling.ternary(self._next_key(), p.n)
         return SecretKey(id=pid, data=_secret_key_core(p, s))
 
+    def gen_secret_key_sparse(self, pid: str, hw: int) -> SecretKey:
+        """Secret with exactly hw non-zero coefficients
+        (GenSecretKeySparse, keygen.go:78-85)."""
+        p = self.params
+        s = sampling.ternary_sparse(self._next_key(), p.n, hw)
+        return SecretKey(id=pid, data=_secret_key_core(p, s))
+
+    def gen_secret_key_gaussian(self, pid: str) -> SecretKey:
+        """Gaussian-distributed secret (GenSecretKeyGaussian,
+        keygen.go:63-65)."""
+        p = self.params
+        s = sampling.gaussian(self._next_key(), p.n, sigma=p.sigma)
+        return SecretKey(id=pid, data=_secret_key_core(p, s))
+
     def _gaussian_qp(self, *batch) -> jax.Array:
         """Gaussian error, extended to QP, NTT domain, Montgomery form."""
         p = self.params

@@ -90,6 +90,18 @@ def gaussian(key, n: int, sigma: float = 3.2, bound: int | None = None
     return ks[idx]
 
 
+def ternary_sparse(key, n: int, hw: int) -> jax.Array:
+    """Exactly hw non-zero coefficients, each +-1 with equal probability
+    (lattigo's NewTernarySamplerSparse used by GenSecretKeySparse,
+    keygen.go:78-85). int32 (n,)."""
+    import jax.numpy as jnp_
+    k1, k2 = jax.random.split(key)
+    perm = jax.random.permutation(k1, n)
+    signs = jnp_.where(jax.random.bits(k2, (n,), dtype=U32) & 1, 1, -1)
+    mask = (jnp_.argsort(perm) < hw).astype(jnp_.int32)
+    return (signs * mask).astype(jnp_.int32)
+
+
 def gaussian_rns(key, ring: Ring, *batch, sigma: float = 3.2) -> jax.Array:
     """Gaussian error lifted to RNS, shape (*batch, L, N)."""
     total = int(np.prod(batch)) if batch else 1

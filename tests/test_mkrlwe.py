@@ -165,3 +165,18 @@ def test_external_product_low_level(params, kgen):
                                    sk.data[:level + 1]))
     resid = np.asarray(ring.sub(got, want))
     assert _inner_sum_log2(resid, params.q_moduli[:level + 1]) <= 10 + LOGN
+
+
+def test_sparse_and_gaussian_secrets(params, kgen):
+    """GenSecretKeySparse / GenSecretKeyGaussian variants encrypt/decrypt
+    correctly (keygen.go:63-85)."""
+    for sk in (kgen.gen_secret_key_sparse("s1", 64),
+               kgen.gen_secret_key_gaussian("s2")):
+        pk = kgen.gen_public_key(sk)
+        enc = mkrlwe.Encryptor(params, seed=17)
+        dec = mkrlwe.Decryptor(params)
+        sk_set = mkrlwe.SecretKeySet()
+        sk_set.add(sk)
+        ct = enc.encrypt(None, pk)
+        pt = dec.decrypt(ct, sk_set)
+        assert _inner_sum_log2(np.asarray(pt), params.q_moduli) <= 11 + LOGN
