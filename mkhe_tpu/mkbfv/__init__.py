@@ -6,10 +6,12 @@ from .keygen import KeyGenerator
 from .encryptor import Encryptor
 from .decryptor import Decryptor
 from .evaluator import Evaluator
+from .keyswitch import HoistedCiphertext
 from . import encoder, basis, keyswitch
 
 __all__ = [
     "Parameters", "new_parameters", "PN15QP880", "PN14QP439",
     "RelinearizationKey", "RelinearizationKeySet", "KeyGenerator",
-    "Encryptor", "Decryptor", "Evaluator", "encoder", "basis", "keyswitch",
+    "Encryptor", "Decryptor", "Evaluator", "HoistedCiphertext",
+    "encoder", "basis", "keyswitch",
 ]

@@ -28,6 +28,19 @@ def _mul_relin_core(bp, ct0, ct1, b, d, v):
     return bfv_ksw.mul_and_relin_bfv(bp, ct0r, ct1r, (b, d, v))
 
 
+@jax.jit
+def _hoist_core(bp, ct):
+    return bfv_ksw.hoist(bp, ct)
+
+
+@jax.jit
+def _mul_relin_hoisted_core(bp, h0, h1, b, d, v):
+    ct0r = Ciphertext(ids=h0.ids, data=h0.lift)
+    ct1r = Ciphertext(ids=h1.ids, data=h1.resc)
+    return bfv_ksw.mul_and_relin_bfv(bp, ct0r, ct1r, (b, d, v),
+                                     dec0=h0.dec_lift, dec1=h1.dec_resc)
+
+
 @functools.partial(jax.jit, static_argnames=("map_a", "map_b", "op"))
 def _binary_core(rp, a_data, b_data, map_a, map_b, op):
     ring = rp.ring_q
@@ -70,6 +83,21 @@ class Evaluator:
         ids = union_ids(ct0.ids, ct1.ids)
         b, d, v = rlk_set.stacked(ids)
         return _mul_relin_core(self.params, ct0, ct1, b, d, v)
+
+    def hoisted_form(self, ct: Ciphertext) -> bfv_ksw.HoistedCiphertext:
+        """Precompute the double-basis lifts + gadget decompositions of
+        `ct` so repeated multiplications skip them (reference caches these
+        in the rlkSet pools, mkbfv/evaluator.go:118-144)."""
+        return _hoist_core(self.params, ct)
+
+    def mul_relin_hoisted_new(self, h0: bfv_ksw.HoistedCiphertext,
+                              h1: bfv_ksw.HoistedCiphertext,
+                              rlk_set: RelinearizationKeySet) -> Ciphertext:
+        """MulAndRelinBFVHoisted (mkbfv/keyswitch_hoisted.go:39-207):
+        multiply two precomputed hoisted forms."""
+        ids = union_ids(h0.ids, h1.ids)
+        b, d, v = rlk_set.stacked(ids)
+        return _mul_relin_hoisted_core(self.params, h0, h1, b, d, v)
 
     def rotate_new(self, ct: Ciphertext, rot_idx: int, rtk_set
                    ) -> Ciphertext:

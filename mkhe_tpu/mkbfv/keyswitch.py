@@ -11,6 +11,8 @@ back to Q (keyswitch.go:191-228).
 
 from __future__ import annotations
 
+import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
@@ -22,6 +24,40 @@ from ..mkrlwe.elements import Ciphertext, union_ids
 from ..ops import basis as rns_basis
 from .params import Parameters
 from . import basis as bfv_basis
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["lift", "resc", "dec_lift", "dec_resc"],
+    meta_fields=["ids"],
+)
+@dataclasses.dataclass(frozen=True)
+class HoistedCiphertext:
+    """Cached double-basis forms of a BFV ciphertext for hoisted
+    multiplication (reference: the rlkSet PolyRPool1/2 + HoistPool scratch
+    filled once per operand in mkbfv/evaluator.go:118-144 and consumed by
+    MulAndRelinBFVHoisted, mkbfv/keyswitch_hoisted.go:39-207).
+
+    `lift`/`dec_lift` are the operand-0 forms (ModUpQtoR + its 2*beta-digit
+    NTT decomposition); `resc`/`dec_resc` are the operand-1 forms
+    (Rescale by QMul/Q + decomposition). Caching both lets one hoisted
+    form serve either multiplication slot, amortizing the lift, iNTT and
+    base-conversion cost when a ciphertext is reused across products."""
+    ids: Tuple[str, ...]
+    lift: jax.Array       # (k+1, 2Lq, N) coeff-domain over R
+    resc: jax.Array       # (k+1, 2Lq, N) coeff-domain over R
+    dec_lift: jax.Array   # (k, 2beta, Lqp, N) NTT digits of lift[1:]
+    dec_resc: jax.Array   # (k, 2beta, Lqp, N) NTT digits of resc[1:]
+
+
+def hoist(params: Parameters, ct: Ciphertext) -> HoistedCiphertext:
+    """Precompute both double-basis forms + decompositions of `ct`."""
+    lift = bfv_basis.mod_up_q_to_r(params, ct.data)
+    resc = bfv_basis.rescale_q_to_r(params, ct.data)
+    return HoistedCiphertext(
+        ids=ct.ids, lift=lift, resc=resc,
+        dec_lift=decompose_bfv(params, lift[1:]),
+        dec_resc=decompose_bfv(params, resc[1:]))
 
 
 def decompose_bfv(params: Parameters, x_r: jax.Array) -> jax.Array:

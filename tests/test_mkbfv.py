@@ -160,3 +160,25 @@ def test_conjugate(params, ctx):
     nh = params.n // 2
     want = np.concatenate([_cmod(m)[nh:], _cmod(m)[:nh]])
     np.testing.assert_array_equal(out, want)
+
+
+def test_mul_relin_hoisted(params, ctx):
+    """Hoisted BFV mult (cached double-basis decompositions,
+    mkbfv/keyswitch_hoisted.go:39-207) is bit-identical to the plain
+    path, and one hoisted form serves several products."""
+    ev = ctx["ev"]
+    m1, m2, m3 = _rand_msg(params), _rand_msg(params), _rand_msg(params)
+    ct1 = ctx["enc"].encrypt_msg(m1, ctx["pk"].get("user0"))
+    ct2 = ctx["enc"].encrypt_msg(m2, ctx["pk"].get("user1"))
+    ct3 = ctx["enc"].encrypt_msg(m3, ctx["pk"].get("user2"))
+    h1, h2, h3 = (ev.hoisted_form(c) for c in (ct1, ct2, ct3))
+
+    plain = ev.mul_relin_new(ct1, ct2, ctx["rlk"])
+    hoisted = ev.mul_relin_hoisted_new(h1, h2, ctx["rlk"])
+    np.testing.assert_array_equal(np.asarray(plain.data),
+                                  np.asarray(hoisted.data))
+
+    # reuse h1 in a second product (the point of hoisting)
+    out = ctx["dec"].decrypt(ev.mul_relin_hoisted_new(h1, h3, ctx["rlk"]),
+                             ctx["sk"])
+    np.testing.assert_array_equal(out, _cmod(m1 * m3))
