@@ -43,22 +43,40 @@ def _tables(logn: int):
     return e, t_pos, t_neg, twist
 
 
-def encode(values: np.ndarray, scale: float, moduli, logn: int
-           ) -> np.ndarray:
-    """complex slots (N/2,) -> uint32 RNS coeffs (L, N), scaled + rounded."""
+def encode(values: np.ndarray, scale: float, moduli, logn: int,
+           logslots: int | None = None) -> np.ndarray:
+    """complex slots -> uint32 RNS coeffs (L, N), scaled + rounded.
+
+    With logslots < logn-1 (sparse packing), the 2^logslots values are
+    encoded in the subring Z[Y]/(Y^{2*slots}+1), Y = X^gap with
+    gap = N/(2*slots), and the subring coefficients are spread at stride
+    gap — the full-ring slot vector then holds the values replicated
+    N/2 / 2^logslots times, so rotations act modulo 2^logslots (lattigo
+    ckks.Encoder sparse layout; reference uses it via logSlots in
+    ckks.ParametersLiteral)."""
     n = 1 << logn
     nh = n // 2
-    _, t_pos, t_neg, twist = _tables(logn)
+    if logslots is None:
+        logslots = logn - 1
+    sub_logn = logslots + 1          # subring degree 2*slots
+    n_sub = 1 << sub_logn
+    nh_sub = n_sub // 2
+    _, t_pos, t_neg, twist = _tables(sub_logn)
     z = np.asarray(values, np.complex128)
-    if z.shape[0] != nh:
-        full = np.zeros(nh, np.complex128)
+    if z.shape[0] != nh_sub:
+        full = np.zeros(nh_sub, np.complex128)
         full[:z.shape[0]] = z
         z = full
-    ev = np.zeros(n, np.complex128)
+    ev = np.zeros(n_sub, np.complex128)
     ev[t_pos] = z
     ev[t_neg] = np.conj(z)
-    v = np.fft.fft(ev) / n
-    m = np.real(v * np.conj(twist)) * scale
+    v = np.fft.fft(ev) / n_sub
+    m_sub = np.real(v * np.conj(twist)) * scale
+    if n_sub == n:
+        m = m_sub
+    else:
+        m = np.zeros(n, np.float64)
+        m[:: n // n_sub] = m_sub
     big = np.abs(m).max() if m.size else 0.0
     if big < 2 ** 62:
         mi = np.round(m).astype(np.int64)
@@ -85,7 +103,10 @@ def decode(poly: np.ndarray, scale: float, moduli, logn: int,
                                   tuple(moduli)[:L])
         m = np.array([float(v) for v in centered], np.float64)
     else:
-        # fast 2-limb CRT: exact while |value| < q0*q1/2
+        # fast 2-limb CRT: exact while |value| < q0*q1/2. Self-checking:
+        # values larger than that (e.g. after a fractional MultByConst,
+        # which scales by q_level before any Rescale) disagree with the
+        # third limb, and we fall back to the exact big-int CRT.
         q0, q1 = int(moduli[0]), int(moduli[1])
         qq = q0 * q1
         inv = pow(q0, -1, q1)
@@ -93,8 +114,16 @@ def decode(poly: np.ndarray, scale: float, moduli, logn: int,
         x1 = poly[1].astype(np.int64)
         k = ((x1 - x0) * inv) % q1
         val = x0 + q0 * k
-        val = np.where(val > qq // 2, val - qq, val)
-        m = val.astype(np.float64)
+        if L > 2:
+            q2 = int(moduli[2])
+            if not np.array_equal(val % q2, poly[2].astype(np.int64) % q2):
+                centered = crt.crt_center(poly[: min(L, len(moduli))],
+                                          tuple(moduli)[:L])
+                m = np.array([float(v) for v in centered], np.float64)
+                val = None
+        if val is not None:
+            val = np.where(val > qq // 2, val - qq, val)
+            m = val.astype(np.float64)
     v = (m / scale) * twist
     ev = np.fft.ifft(v) * n
     z = ev[t_pos]

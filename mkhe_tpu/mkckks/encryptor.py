@@ -27,7 +27,8 @@ class Encryptor:
         if scale is None:
             scale = p.scale
         moduli = p.rlwe.q_moduli[:level + 1]
-        return encoder.encode(msg.value, scale, moduli, p.logn)
+        return encoder.encode(msg.value, scale, moduli, p.logn,
+                              logslots=p.logslots)
 
     def encrypt_msg(self, msg: Message, pk: mkrlwe.PublicKey,
                     level: int | None = None) -> Ciphertext:

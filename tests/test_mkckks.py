@@ -244,3 +244,60 @@ def test_eight_party_mult_and_rotate(params):
     ct = ev.rotate_new(ct, 2, rtk_set)       # 8-party rotation
     out = dec.decrypt(ct, sk_set)
     _assert_close(params, out.value, np.roll(want * want, -2), 13)
+
+
+def test_sparse_packing():
+    """logSlots < logN-1 (lattigo sparse layout): values are encoded in
+    the X^gap subring and replicated across the full slot vector, so
+    rotations act modulo 2^logslots and mult/decode work unchanged."""
+    import math as _math
+    p = mkckks.new_parameters(LOGN, LOGN - 3, q0_bits=28.9,
+                              level_bits=20.0, levels=4, scale=SCALE,
+                              p_bits=28.4)
+    kgen = mkrlwe.KeyGenerator(p.rlwe, seed=41)
+    sks, pks = mkrlwe.SecretKeySet(), {}
+    rlk = mkrlwe.RelinearizationKeySet()
+    rtk = mkrlwe.RotationKeySet()
+    for uid in ("a", "b"):
+        sk, pk = kgen.gen_key_pair(uid)
+        sks.add(sk); pks[uid] = pk
+        rlk.add(kgen.gen_relinearization_key(sk, kgen.gen_secret_key(uid)))
+        kgen.gen_default_rotation_keys(sk, rtk)
+    enc, dec, ev = (mkckks.Encryptor(p, seed=42), mkckks.Decryptor(p),
+                    mkckks.Evaluator(p))
+    s = p.slots
+    assert s == (1 << LOGN) // 8
+    m1 = _rand_msg(p, -1, 1)
+    m2 = _rand_msg(p, -1, 1)
+    ct1 = enc.encrypt_msg(m1, pks["a"])
+    ct2 = enc.encrypt_msg(m2, pks["b"])
+
+    out = dec.decrypt(ct1, sks)
+    assert out.value.shape == (s,)
+    _assert_close(p, out.value, m1.value, 8)
+
+    prod = dec.decrypt(ev.mul_relin_new(ct1, ct2, rlk), sks)
+    _assert_close(p, prod.value, m1.value * m2.value, 12)
+
+    # rotation wraps modulo the sparse slot count (replication invariant)
+    rot = dec.decrypt(ev.rotate_new(ct1, 1, rtk), sks)
+    _assert_close(p, rot.value, np.roll(m1.value, -1), 11)
+    rot2 = dec.decrypt(ev.rotate_new(ct1, s // 2, rtk), sks)
+    _assert_close(p, rot2.value, np.roll(m1.value, -(s // 2)), 11)
+
+
+def test_mult_by_fractional_const(params, ctx):
+    """Fractional constants scale by q_level (MultByConst,
+    mkckks/evaluator.go:117-198); before Rescale the coefficients exceed
+    the decoder's fast 2-limb CRT range, exercising its exact-CRT
+    fallback (regression: used to decode garbage)."""
+    m = _rand_msg(params, -1, 1)
+    ct = ctx["enc"].encrypt_msg(m, ctx["pk"].get("user0"))
+    for c in (0.7, 0.7 - 1.3j):
+        out = ctx["dec"].decrypt(ctx["ev"].mult_by_const_new(ct, c),
+                                 ctx["sk"])
+        _assert_close(params, out.value, m.value * c, 11)
+        # and after rescale (back in fast-CRT range)
+        rs = ctx["ev"].rescale(ctx["ev"].mult_by_const_new(ct, c))
+        out2 = ctx["dec"].decrypt(rs, ctx["sk"])
+        _assert_close(params, out2.value, m.value * c, 11)
