@@ -93,6 +93,31 @@ def main():
         print(json.dumps({"metric": f"cnn_{k}", "value": round(v, 1),
                           "unit": "ms"}), flush=True)
 
+    # fused single-XLA-program inference (one dispatch for the pipeline)
+    fn, args = cnn.build_fused_inference(params, rlk, rtk, ct_img, ct_k,
+                                         ct_fc1, ct_fc2, ct_b1, ct_b2,
+                                         pt_mask)
+    t0 = time.perf_counter()
+    out = fn(*args)
+    _ = int(out.ct.data[0, 0, 0])
+    print(f"fused compile+run: {time.perf_counter()-t0:.1f} s", flush=True)
+    # end-to-end correctness of the fused program: decrypt and compare
+    # against the plaintext forward pass (same check as tests/test_cnn.py)
+    dec = mkckks.Decryptor(params)
+    logits = np.real(dec.decrypt(out, sk_set).value[:cnn.CLASSES])
+    want = cnn.plain_forward(img, kernels, fc1, fc2, b1, b2)
+    assert int(np.argmax(logits)) == int(np.argmax(want)), (logits, want)
+    np.testing.assert_allclose(logits, want, rtol=5e-3, atol=5e-3)
+    print("fused logits verified vs plaintext forward pass", flush=True)
+    best = 1e9
+    for _i in range(3):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = int(out.ct.data[0, 0, 0])
+        best = min(best, (time.perf_counter() - t0) * 1e3)
+    print(json.dumps({"metric": "cnn_fused_total_ms",
+                      "value": round(best, 1), "unit": "ms"}), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -28,25 +28,27 @@ PARTIES = int(os.environ.get("BENCH_PARTIES", "4"))
 ITERS = int(os.environ.get("BENCH_ITERS", "6"))
 
 
-def timed(name, fn, *args):
-    """Chained timing: k executions inside one graph, slope in ms."""
+def timed(name, fn, *arrays):
+    """Chained timing: k executions inside one graph, slope in ms.
+    All large operands MUST be passed via *arrays (jit args) — closures
+    would embed them as HLO constants (the relay rejects big programs)."""
     @functools.partial(jax.jit, static_argnames=("k",))
-    def chained(seed_u32, k):
+    def chained(seed_u32, k, *arrs):
         out = None
         cur = seed_u32
         for _ in range(k):
-            out = fn(cur, *args)
+            out = fn(cur, *arrs)
             cur = cur ^ out.reshape(-1)[0]
         return out
 
     z = jnp.uint32(0)
-    _ = int(np.asarray(chained(z, 1)).reshape(-1)[0])
-    _ = int(np.asarray(chained(z, ITERS)).reshape(-1)[0])
+    _ = int(np.asarray(chained(z, 1, *arrays)).reshape(-1)[0])
+    _ = int(np.asarray(chained(z, ITERS, *arrays)).reshape(-1)[0])
     t0 = time.perf_counter()
-    _ = int(np.asarray(chained(z, 1)).reshape(-1)[0])
+    _ = int(np.asarray(chained(z, 1, *arrays)).reshape(-1)[0])
     t1 = (time.perf_counter() - t0) * 1000
     t0 = time.perf_counter()
-    _ = int(np.asarray(chained(z, ITERS)).reshape(-1)[0])
+    _ = int(np.asarray(chained(z, ITERS, *arrays)).reshape(-1)[0])
     tk = (time.perf_counter() - t0) * 1000
     ms = max((tk - t1) / (ITERS - 1), 0.0)
     print(f"{name:38s} {ms:8.2f} ms")
@@ -101,50 +103,55 @@ def main():
     print(f"phases of 4-party logN=15 MulRelin (square path), "
           f"beta={rp.beta(level)}, Lqp={level + 1 + rp.pcount}")
 
+    qp_ntt = jax.jit(lambda a: ksw.external_product_ntt(rp, a, x, level))
+    ext_ntt_out = qp_ntt(dec0)
+
     timed("decompose_digits (base ext only)",
-          lambda s: rns_basis.decompose_digits(
-              seed_mix(s, data[1:]), ring_q, ring_qp, rp.alpha))
+          lambda s, dat: rns_basis.decompose_digits(
+              seed_mix(s, dat), ring_q, ring_qp, rp.alpha), data[1:])
     timed("decompose digits NTT only",
-          lambda s: ring_qp.ntt(seed_mix(s, digits_raw)))
+          lambda s, dg: ring_qp.ntt(seed_mix(s, dg)), digits_raw)
     timed("full decompose (dec0)",
-          lambda s: ksw.decompose(rp, seed_mix(s, data[1:]), level))
+          lambda s, dat: ksw.decompose(rp, seed_mix(s, dat), level),
+          data[1:])
     timed("aggregate x (incl to_mont)",
-          lambda s: ring_qp.to_mont(ksw._aggregate_keys(
-              rp, seed_mix(s, dec0), d_keys, level)))
-    def tensor(s):
-        d0 = seed_mix(s, data)
+          lambda s, dg, dk: ring_qp.to_mont(ksw._aggregate_keys(
+              rp, seed_mix(s, dg), dk, level)), dec0, d_keys)
+    def tensor(s, dat):
+        d0 = seed_mix(s, dat)
         nt0 = ring_q.ntt(d0)
         nt0_0m = ring_q.to_mont(nt0[0])
         out = [ring_q.mul_mont(nt0[0], nt0_0m)]
         for j in range(len(ids)):
             out.append(ring_q.mul_mont(nt0[1 + j], nt0_0m))
         return ring_q.intt(jnp.stack(out))
-    timed("tensor terms (5 ntt + pw + 5 intt)", tensor)
+    timed("tensor terms (5 ntt + pw + 5 intt)", tensor, data)
     timed("ext-product z1 (contract+intt+moddown)",
-          lambda s: ksw.external_product(rp, seed_mix(s, dec0), x, level))
+          lambda s, dg, xx: ksw.external_product(
+              rp, seed_mix(s, dg), xx, level), dec0, x)
     timed("  contraction only (ext_ntt)",
-          lambda s: ksw.external_product_ntt(
-              rp, seed_mix(s, dec0), x, level))
+          lambda s, dg, xx: ksw.external_product_ntt(
+              rp, seed_mix(s, dg), xx, level), dec0, x)
     timed("  mod_down_qp only",
-          lambda s: ksw.mod_down_qp(
-              rp, seed_mix(s, jax.jit(lambda: ksw.external_product_ntt(
-                  rp, dec0, x, level))()), level))
+          lambda s, c: ksw.mod_down_qp(rp, seed_mix(s, c), level),
+          ext_ntt_out)
     timed("decompose(t) -> dec_t",
-          lambda s: ksw.decompose(rp, seed_mix(s, t), level))
+          lambda s, tt: ksw.decompose(rp, seed_mix(s, tt), level), t)
     timed("v_sum (_sum_parties_ntt + moddown)",
-          lambda s: ksw.mod_down_qp(rp, ksw._sum_parties_ntt(
-              rp, seed_mix(s, dec_t), v_keys, level), level))
+          lambda s, dg, vk: ksw.mod_down_qp(rp, ksw._sum_parties_ntt(
+              rp, seed_mix(s, dg), vk, level), level), dec_t, v_keys)
     timed("ext-product zu",
-          lambda s: ksw.external_product(
-              rp, seed_mix(s, dec_t), u_key, level))
+          lambda s, dg, uk: ksw.external_product(
+              rp, seed_mix(s, dg), uk, level), dec_t, u_key)
     timed("rescale (2 limbs)",
-          lambda s: rns_basis.div_round_by_last_moduli(
-              seed_mix(s, data), ring_q, 2))
+          lambda s, dat: rns_basis.div_round_by_last_moduli(
+              seed_mix(s, dat), ring_q, 2), data)
     timed("FULL mul_and_relin (square)",
-          lambda s: ksw.mul_and_relin(
-              rp, dataclasses.replace(ct.ct, data=seed_mix(s, data)),
-              dataclasses.replace(ct.ct, data=seed_mix(s, data)),
-              (b, d, v), level, square=True).data)
+          lambda s, dat, bb, dd, vv: ksw.mul_and_relin(
+              rp, dataclasses.replace(ct.ct, data=seed_mix(s, dat)),
+              dataclasses.replace(ct.ct, data=seed_mix(s, dat)),
+              (bb, dd, vv), level, square=True).data,
+          data, b, d, v)
 
 
 if __name__ == "__main__":

@@ -149,3 +149,47 @@ def test_cnn_end_to_end(ctx):
     # rtol covers residual CKKS scale drift + 6 levels of mult noise (the
     # reference's own assertion is argmax-only, cnn_test.go:176-177)
     np.testing.assert_allclose(logits, want, rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="fused-graph compile takes ~10 min on CPU; "
+                           "run with RUN_SLOW=1 (covered on TPU by "
+                           "benchmarks/bench_cnn.py)")
+def test_cnn_fused_matches_staged(ctx):
+    """The single-XLA-program fused inference is bit-identical to the
+    staged pipeline (same ops, same order, one graph)."""
+    params, ev = ctx["params"], ctx["ev"]
+    kernels, fc1, fc2, b1, b2 = cnn.load_weights()
+    img = _synthetic_image()
+    slots = params.slots
+    enc, pk = ctx["enc"], ctx["pk"]
+
+    ct_img = enc.encrypt_msg(
+        mkckks.Message(value=cnn.pack_image(img, slots)),
+        pk.get("dataOwner"))
+    ct_k = [enc.encrypt_msg(mkckks.Message(value=v), pk.get("modelOwner"))
+            for v in cnn.pack_kernels(kernels, slots)]
+    ct_fc1 = [enc.encrypt_msg(mkckks.Message(value=v),
+                              pk.get("modelOwner"))
+              for v in cnn.pack_fc1(fc1, slots)]
+    ct_fc2 = enc.encrypt_msg(
+        mkckks.Message(value=cnn.pack_fc2(fc2, slots)),
+        pk.get("modelOwner"))
+    ct_b1 = enc.encrypt_msg(mkckks.Message(value=cnn.pack_b1(b1, slots)),
+                            pk.get("modelOwner"))
+    ct_b2 = enc.encrypt_msg(mkckks.Message(value=cnn.pack_b2(b2, slots)),
+                            pk.get("modelOwner"))
+    pt_mask = enc.encode_msg(mkckks.Message(value=cnn.mask_vector(slots)))
+
+    fn, args = cnn.build_fused_inference(
+        params, ctx["rlk"], ctx["rtk"], ct_img, ct_k, ct_fc1, ct_fc2,
+        ct_b1, ct_b2, pt_mask)
+    fused = fn(*args)
+
+    staged = cnn._pipeline(ev, ctx["rlk"], ctx["rtk"], ct_img, ct_k,
+                           ct_fc1, ct_fc2, ct_b1, ct_b2, pt_mask,
+                           params.scale)
+    assert fused.scale == staged.scale
+    assert fused.ids == staged.ids
+    np.testing.assert_array_equal(np.asarray(fused.ct.data),
+                                  np.asarray(staged.ct.data))
