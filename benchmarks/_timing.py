@@ -66,6 +66,34 @@ def chained_ckks_mul_ms(params, ct, rlk_set, k1: int = 2, k2: int = 20
     return slope_time_ms(lambda k: run(data0, k, b, d, v), k1, k2)
 
 
+def chained_ckks_mul_batched_ms(params, ct, rlk_set, batch: int,
+                                k1: int = 2, k2: int = 10) -> float:
+    """Per-mult ms of the vmapped batched mult (serving throughput path):
+    `batch` independent square-mults + rescale per iteration, chained.
+    Returns the per-iteration time; caller divides by `batch`."""
+    from mkhe_tpu.mkrlwe import keyswitch as ksw
+    from mkhe_tpu.ops import basis
+
+    rp = params.rlwe
+    level = ct.level
+    b, d, v = rlk_set.stacked(ct.ids)
+    rct = ct.ct
+    data0 = jnp.stack([rct.data] * batch)
+
+    def step(cur, b, d, v):
+        def one(dd):
+            c = dataclasses.replace(rct, data=dd)
+            out = ksw.mul_and_relin(rp, c, c, (b, d, v), level,
+                                    square=True)
+            return basis.div_round_by_last_moduli(
+                out.data, rp.ring_q_at(level), 2)
+        res = jax.vmap(one)(cur)
+        return data0 ^ res[0, 0, 0, 0]
+
+    run = _looped(step)
+    return slope_time_ms(lambda k: run(data0, k, b, d, v), k1, k2)
+
+
 def chained_ckks_rotate_ms(params, ct, rtk_set, rot_idx: int,
                            k1: int = 2, k2: int = 50) -> float:
     from mkhe_tpu.mkrlwe import keyswitch as ksw

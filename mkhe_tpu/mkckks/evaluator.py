@@ -85,6 +85,21 @@ def _rescale_core(rp, data, nb):
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("ids0", "ids1", "level", "nb"))
+def _mul_relin_batched_core(rp, data0, data1, b, d, v, ids0, ids1, level,
+                            nb):
+    def one(d0, d1):
+        out = ksw.mul_and_relin(
+            rp, RCt(ids=ids0, data=d0), RCt(ids=ids1, data=d1),
+            (b, d, v), level).data
+        if nb:
+            out = basis.div_round_by_last_moduli(
+                out, rp.ring_q_at(level), nb)
+        return out
+    return jax.vmap(one)(data0, data1)
+
+
+@functools.partial(jax.jit,
                    static_argnames=("level", "use_h0", "use_h1", "square"))
 def _mul_relin_core(rp, ct0, ct1, b, d, v, level, h0, h1, use_h0, use_h1,
                     square=False):
@@ -261,6 +276,47 @@ class Evaluator:
             square=square and (h0 is h1))
         res = Ciphertext(ct=out, scale=ct0.scale * ct1.scale)
         return self.rescale(res)
+
+    def mul_relin_batched_new(self, cts0, cts1, rlk_set):
+        """Throughput-oriented batched MulRelin: vmap the whole
+        mult+relin+rescale over a batch of ciphertext pairs in ONE XLA
+        program. All of cts0 must share (ids, level, scale), likewise
+        cts1 (the usual serving shape: many independent queries under
+        the same keys). Returns a list of Ciphertexts, each bit-identical
+        to mul_relin_new on the corresponding pair.
+
+        No reference analog (the Go library is strictly one-op-at-a-time,
+        mkckks/evaluator.go:416); this is the TPU-native serving path —
+        batching fills the pipeline bubbles a single mult leaves on the
+        VPU/MXU.
+        """
+        cts0, cts1 = list(cts0), list(cts1)
+        if len(cts0) != len(cts1) or not cts0:
+            raise ValueError("need equal-length non-empty batches")
+        for lst in (cts0, cts1):
+            if any(c.ids != lst[0].ids or c.level != lst[0].level
+                   or c.scale != lst[0].scale for c in lst):
+                raise ValueError(
+                    "batch must share (ids, level, scale); mix of "
+                    "shapes compiles per-group — split the batch")
+        level = min(cts0[0].level, cts1[0].level)
+        ids = union_ids(cts0[0].ids, cts1[0].ids)
+        b, d, v = rlk_set.stacked(ids)
+        # rescale amount, computed once (same scale across the batch)
+        scale = cts0[0].scale * cts1[0].scale
+        q = self.params.rlwe.q_moduli
+        nb = 0
+        while (level - nb >= 1
+               and scale / q[level - nb] >= self.params.scale / 2):
+            scale /= q[level - nb]
+            nb += 1
+        data0 = jnp.stack([c.ct.data for c in cts0])
+        data1 = jnp.stack([c.ct.data for c in cts1])
+        out = _mul_relin_batched_core(
+            self.params.rlwe, data0, data1, b, d, v,
+            ids0=cts0[0].ids, ids1=cts1[0].ids, level=level, nb=nb)
+        return [Ciphertext(ct=RCt(ids=ids, data=out[i]), scale=scale)
+                for i in range(len(cts0))]
 
     def mul_ptxt_new(self, ct: Ciphertext, pt, pt_scale: float
                      ) -> Ciphertext:

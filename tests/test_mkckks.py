@@ -127,6 +127,24 @@ def test_mul_relin_distinct_operands(params, ctx):
     _assert_close(params, out.value, m1.value * m2.value, 12)
 
 
+def test_mul_relin_batched(params, ctx):
+    """mul_relin_batched_new (vmapped serving path) is bit-identical to
+    per-pair mul_relin_new, including the rescale."""
+    ev = ctx["ev"]
+    cts0, cts1 = [], []
+    for _ in range(3):
+        m0 = _rand_msg(params, -0.5, 0.5)
+        m1 = _rand_msg(params, -0.5, 0.5)
+        cts0.append(ctx["enc"].encrypt_msg(m0, ctx["pk"].get("user0")))
+        cts1.append(ctx["enc"].encrypt_msg(m1, ctx["pk"].get("user1")))
+    got = ev.mul_relin_batched_new(cts0, cts1, ctx["rlk"])
+    for g, c0, c1 in zip(got, cts0, cts1):
+        want = ev.mul_relin_new(c0, c1, ctx["rlk"])
+        assert g.scale == want.scale and g.ids == want.ids
+        np.testing.assert_array_equal(np.asarray(g.ct.data),
+                                      np.asarray(want.ct.data))
+
+
 def test_rescale_via_const(params, ctx):
     """testEvaluatorRescale: multiply by q_level, rescale, compare."""
     ev = ctx["ev"]
