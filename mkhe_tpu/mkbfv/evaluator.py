@@ -28,6 +28,15 @@ def _mul_relin_core(bp, ct0, ct1, b, d, v):
     return bfv_ksw.mul_and_relin_bfv(bp, ct0r, ct1r, (b, d, v))
 
 
+@functools.partial(jax.jit, static_argnames=("ids0", "ids1"))
+def _mul_relin_batched_core(bp, data0, data1, b, d, v, ids0, ids1):
+    def one(d0, d1):
+        ct0 = Ciphertext(ids=ids0, data=bfv_basis.mod_up_q_to_r(bp, d0))
+        ct1 = Ciphertext(ids=ids1, data=bfv_basis.rescale_q_to_r(bp, d1))
+        return bfv_ksw.mul_and_relin_bfv(bp, ct0, ct1, (b, d, v)).data
+    return jax.vmap(one)(data0, data1)
+
+
 @jax.jit
 def _hoist_core(bp, ct):
     return bfv_ksw.hoist(bp, ct)
@@ -83,6 +92,28 @@ class Evaluator:
         ids = union_ids(ct0.ids, ct1.ids)
         b, d, v = rlk_set.stacked(ids)
         return _mul_relin_core(self.params, ct0, ct1, b, d, v)
+
+    def mul_relin_batched_new(self, cts0, cts1,
+                              rlk_set: RelinearizationKeySet):
+        """Throughput-oriented batched MulRelin: vmap B independent
+        mult+relin pipelines into one XLA program (serving path; no
+        reference analog — the Go library is one-op-at-a-time). Each
+        batch must share its id tuple; results are bit-identical to
+        per-pair mul_relin_new."""
+        cts0, cts1 = list(cts0), list(cts1)
+        if len(cts0) != len(cts1) or not cts0:
+            raise ValueError("need equal-length non-empty batches")
+        for lst in (cts0, cts1):
+            if any(c.ids != lst[0].ids for c in lst):
+                raise ValueError("batch must share the id tuple")
+        ids = union_ids(cts0[0].ids, cts1[0].ids)
+        b, d, v = rlk_set.stacked(ids)
+        data0 = jnp.stack([c.data for c in cts0])
+        data1 = jnp.stack([c.data for c in cts1])
+        out = _mul_relin_batched_core(self.params, data0, data1, b, d, v,
+                                      ids0=cts0[0].ids, ids1=cts1[0].ids)
+        return [Ciphertext(ids=ids, data=out[i])
+                for i in range(len(cts0))]
 
     def hoisted_form(self, ct: Ciphertext) -> bfv_ksw.HoistedCiphertext:
         """Precompute the double-basis lifts + gadget decompositions of

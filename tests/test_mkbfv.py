@@ -98,6 +98,23 @@ def test_mul_relin_distinct(params, ctx):
     np.testing.assert_array_equal(out, _cmod(m1 * m2))
 
 
+def test_mul_relin_batched(params, ctx):
+    """Batched (vmapped) mult is bit-identical to per-pair mul_relin_new."""
+    ev = ctx["ev"]
+    cts0, cts1 = [], []
+    for _ in range(3):
+        cts0.append(ctx["enc"].encrypt_msg(_rand_msg(params),
+                                           ctx["pk"].get("user0")))
+        cts1.append(ctx["enc"].encrypt_msg(_rand_msg(params),
+                                           ctx["pk"].get("user1")))
+    got = ev.mul_relin_batched_new(cts0, cts1, ctx["rlk"])
+    for g, c0, c1 in zip(got, cts0, cts1):
+        want = ev.mul_relin_new(c0, c1, ctx["rlk"])
+        assert g.ids == want.ids
+        np.testing.assert_array_equal(np.asarray(g.data),
+                                      np.asarray(want.data))
+
+
 def test_rotate(params, ctx):
     ev = ctx["ev"]
     m = _rand_msg(params)
