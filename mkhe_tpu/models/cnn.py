@@ -189,52 +189,9 @@ def fc2_layer(ev: mkckks.Evaluator, rlk, rtk, ct_vec, ct_mat, ct_bias,
 # The staged pipeline above dispatches ~60 jitted ops; through the TPU
 # relay each dispatch costs more than many of the ops themselves. The
 # fused path traces the ENTIRE encrypted inference (hoisting, conv,
-# squares, fc1, fc2) into one XLA program. Key material and CRS ride as
-# jit arguments (pytrees), not baked constants: a recording pass
-# (jax.eval_shape — no compute) discovers which stacked relin/rotation
-# keys the pipeline touches, and the compiled program takes them as a
-# dict argument.
-
-
-class _RecordRlk:
-    """Recording shim used under jax.eval_shape: logs which stacked key
-    combinations the pipeline requests and returns shape-matched zero
-    placeholders (eval_shape computes nothing, and calling the real
-    set's .stacked inside the trace would cache leaked tracers)."""
-
-    def __init__(self, real):
-        self.real, self.requests = real, []
-
-    def stacked(self, ids):
-        import jax.numpy as jnp
-        k = tuple(ids)
-        if k not in self.requests:
-            self.requests.append(k)
-        kk = self.real.get(ids[0])
-        z = lambda a: jnp.zeros((len(ids),) + tuple(a.shape), a.dtype)
-        return z(kk.b), z(kk.d), z(kk.v)
-
-
-class _RecordRtk:
-    def __init__(self, real):
-        self.real, self.requests = real, []
-
-    def stacked(self, ids, rot):
-        import jax.numpy as jnp
-        k = (tuple(ids), rot)
-        if k not in self.requests:
-            self.requests.append(k)
-        a = self.real.get(ids[0], rot).data
-        return jnp.zeros((len(ids),) + tuple(a.shape), a.dtype)
-
-
-class _Replay:
-    def __init__(self, table):
-        self.table = table
-
-    def stacked(self, ids, rot=None):
-        return self.table[tuple(ids) if rot is None
-                          else (tuple(ids), rot)]
+# squares, fc1, fc2) into one XLA program via mkhe_tpu.fuse (which also
+# handles routing the key material as jit arguments rather than baked
+# constants).
 
 
 def _pipeline(ev, rlk, rtk, ct_img, ct_k, ct_fc1, ct_fc2, ct_b1, ct_b2,
@@ -256,45 +213,28 @@ def _pipeline(ev, rlk, rtk, ct_img, ct_k, ct_fc1, ct_fc2, ct_b1, ct_b2,
 def build_fused_inference(params, rlk_set, rtk_set, ct_img, ct_k, ct_fc1,
                           ct_fc2, ct_b1, ct_b2, pt_mask,
                           mask_scale=None):
-    """Compile the whole encrypted inference into ONE jitted callable.
+    """Compile the whole encrypted inference into ONE jitted callable
+    (via mkhe_tpu.fuse).
 
     Returns (fn, args): calling fn(*args) runs the full pipeline on
     device and returns the output mkckks.Ciphertext. To classify a new
-    image, re-encrypt it and substitute args[3] (the image ciphertext).
+    image, re-encrypt it and substitute args[2][0] (the image
+    ciphertext; args = (ring params, key tables, ciphertext tuple)).
     """
-    import functools
-    import jax
+    from .. import fuse as _fuse
 
     if mask_scale is None:
         mask_scale = params.scale
 
-    # recording pass: abstract trace, no compute — fills the key tables
-    rec_rlk, rec_rtk = _RecordRlk(rlk_set), _RecordRtk(rtk_set)
-
-    def _record(rp, ct_img, ct_k, ct_fc1, ct_fc2, ct_b1, ct_b2, pt_mask):
-        p = dataclasses.replace(params, rlwe=rp)
-        ev = mkckks.Evaluator(p)
-        return _pipeline(ev, rec_rlk, rec_rtk, ct_img, ct_k, ct_fc1,
+    def pipe(ev, keys, ct_img, ct_k, ct_fc1, ct_fc2, ct_b1, ct_b2,
+             pt_mask):
+        return _pipeline(ev, keys.rlk, keys.rtk, ct_img, ct_k, ct_fc1,
                          ct_fc2, ct_b1, ct_b2, pt_mask, mask_scale)
 
-    jax.eval_shape(_record, params.rlwe, ct_img, ct_k, ct_fc1, ct_fc2,
-                   ct_b1, ct_b2, pt_mask)
-    # materialize the recorded key tables OUTSIDE the trace
-    rlk_tab = {k: rlk_set.stacked(k) for k in rec_rlk.requests}
-    rtk_tab = {k: rtk_set.stacked(*k) for k in rec_rtk.requests}
-
-    @jax.jit
-    def _run(rp, rlk_tab, rtk_tab, ct_img, ct_k, ct_fc1, ct_fc2, ct_b1,
-             ct_b2, pt_mask):
-        p = dataclasses.replace(params, rlwe=rp)
-        ev = mkckks.Evaluator(p)
-        return _pipeline(ev, _Replay(rlk_tab), _Replay(rtk_tab), ct_img,
-                         ct_k, ct_fc1, ct_fc2, ct_b1, ct_b2, pt_mask,
-                         mask_scale)
-
-    args = (params.rlwe, rlk_tab, rtk_tab, ct_img, ct_k,
-            ct_fc1, ct_fc2, ct_b1, ct_b2, pt_mask)
-    return _run, args
+    return _fuse.fuse(
+        params, pipe,
+        (ct_img, ct_k, ct_fc1, ct_fc2, ct_b1, ct_b2, pt_mask),
+        rlk_set=rlk_set, rtk_set=rtk_set)
 
 
 # ----------------------------------------------------------------------------
