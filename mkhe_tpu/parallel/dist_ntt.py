@@ -1,0 +1,231 @@
+"""Coefficient-sharded negacyclic NTT with explicit collectives.
+
+This is SURVEY.md §7 "hard part 2": running the NTT with the coefficient
+axis sharded across devices. The classic Cooley-Tukey dataflow splits
+cleanly under a contiguous chunk sharding of N over C devices:
+
+  - the FIRST log2(C) butterfly stages pair coefficients j and j+t with
+    t >= N/C: each device's whole chunk is either the u-side or v-side
+    of its block, its partner chunk lives on device d XOR (t*C/N), and
+    the block twiddle is a single scalar per (device, stage). One
+    `ppermute` chunk exchange per stage over the ICI ring.
+  - every LATER stage (t < N/C) is chunk-local; the per-block twiddles a
+    device needs are a contiguous slice of the global psi table, gathered
+    host-side into a per-device local table (sharded along with the data).
+
+The inverse (Gentleman-Sande) mirrors this: local stages first, then
+log2(C) ppermute stages, then the elementwise 1/N scale.
+
+Because the arithmetic per butterfly and the stage order are IDENTICAL to
+ops/ring.py's jnp path, outputs are bit-identical to ring.ntt/intt — the
+tests assert exact equality on the virtual 8-device mesh. Total traffic:
+log2(C) chunk-exchanges per NTT (the four-step alternative costs a full
+all-to-all transpose; the hypercube split wins for the small C of a pod
+slice and keeps exchanges between ICI neighbours at power-of-two
+distances).
+
+Reference analog: lattigo ring.NTT (used at mkrlwe/keyswitch.go:29-30);
+the reference is single-threaded — this module is the scale-N/scale-chip
+axis of the TPU build (SURVEY.md §5.7 "coefficient axis").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import modmath as mm
+from ..ops.ring import Ring
+
+
+# ----------------------------------------------------------------------------
+# host-side table slicing
+# ----------------------------------------------------------------------------
+
+def _local_stage_tables(tab: np.ndarray, C: int) -> np.ndarray:
+    """Per-device twiddle tables for the chunk-local stages.
+
+    Global stage m uses psi[m + block] for block = j // (2t); on device d
+    the blocks are the contiguous run starting at m*d/C, so the local
+    table obeys loc[d][m_loc:2*m_loc] = tab[(C+d)*m_loc : (C+d+1)*m_loc]
+    (identical form for forward psi and inverse ipsi tables)."""
+    L, n = tab.shape
+    chunk = n // C
+    out = np.zeros((C, L, chunk), tab.dtype)
+    m = 1
+    while m < chunk:
+        for d in range(C):
+            out[d, :, m:2 * m] = tab[:, (C + d) * m:(C + d + 1) * m]
+        m *= 2
+    return out
+
+
+def _cross_stage_tables(tab: np.ndarray, tab_sh: np.ndarray, C: int,
+                        inverse: bool):
+    """Per-(device, stage) twiddle scalars + u-side flags for the cross-
+    device stages. Forward stage k (k=0..logC-1): m=2^k, dist=C>>(k+1),
+    scalar tab[m + (d >> (logC-k))]. Inverse stage i: h=C>>(i+1),
+    dist=2^i, scalar tab[h + (d >> (i+1))]."""
+    L = tab.shape[0]
+    logc = C.bit_length() - 1
+    s = np.zeros((C, logc, L), tab.dtype)
+    s_sh = np.zeros((C, logc, L), tab_sh.dtype)
+    is_u = np.zeros((C, logc), np.bool_)
+    for k in range(logc):
+        if inverse:
+            dist, base = 1 << k, C >> (k + 1)
+            shift = k + 1
+        else:
+            dist, base = C >> (k + 1), 1 << k
+            shift = logc - k
+        for d in range(C):
+            idx = base + (d >> shift)
+            s[d, k] = tab[:, idx]
+            s_sh[d, k] = tab_sh[:, idx]
+            is_u[d, k] = (d // dist) % 2 == 0
+    return s, s_sh, is_u
+
+
+_TABLE_CACHE = {}
+
+
+def _tables(ring: Ring, C: int):
+    psi = np.asarray(ring.psi)
+    key = (C, ring.logn, psi[:, 1].tobytes())  # psi^brv(1) pins the moduli
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
+    psi_sh = np.asarray(ring.psi_sh)
+    ipsi = np.asarray(ring.ipsi)
+    ipsi_sh = np.asarray(ring.ipsi_sh)
+    _TABLE_CACHE[key] = out = dict(
+        fwd_loc=_local_stage_tables(psi, C),
+        fwd_loc_sh=_local_stage_tables(psi_sh, C),
+        inv_loc=_local_stage_tables(ipsi, C),
+        inv_loc_sh=_local_stage_tables(ipsi_sh, C),
+        fwd_cross=_cross_stage_tables(psi, psi_sh, C, inverse=False),
+        inv_cross=_cross_stage_tables(ipsi, ipsi_sh, C, inverse=True),
+    )
+    return out
+
+
+# ----------------------------------------------------------------------------
+# chunk-local stage loops (identical arithmetic to ops/ring.py)
+# ----------------------------------------------------------------------------
+
+def _ct_local(a, psi, psi_sh, q):
+    """Forward Cooley-Tukey stages within a chunk; psi (L, chunk)."""
+    c = a.shape[-1]
+    batch, L = a.shape[:-2], a.shape[-2]
+    t, m = c, 1
+    while m < c:
+        t //= 2
+        x = a.reshape(*batch, L, m, 2, t)
+        u, v = x[..., 0, :], x[..., 1, :]
+        s = psi[:, m:2 * m].reshape(L, m, 1)
+        s_sh = psi_sh[:, m:2 * m].reshape(L, m, 1)
+        qq = q[:, None, None]
+        vs = mm.shoup_mul(v, s, s_sh, qq)
+        a = jnp.stack([mm.add_mod(u, vs, qq), mm.sub_mod(u, vs, qq)],
+                      axis=-2).reshape(*batch, L, c)
+        m *= 2
+    return a
+
+
+def _gs_local(a, ipsi, ipsi_sh, q):
+    """Inverse Gentleman-Sande stages within a chunk (no 1/N scale)."""
+    c = a.shape[-1]
+    batch, L = a.shape[:-2], a.shape[-2]
+    t, m = 1, c
+    while m > 1:
+        h = m // 2
+        x = a.reshape(*batch, L, h, 2, t)
+        u, v = x[..., 0, :], x[..., 1, :]
+        s = ipsi[:, h:2 * h].reshape(L, h, 1)
+        s_sh = ipsi_sh[:, h:2 * h].reshape(L, h, 1)
+        qq = q[:, None, None]
+        a = jnp.stack(
+            [mm.add_mod(u, v, qq),
+             mm.shoup_mul(mm.sub_mod(u, v, qq), s, s_sh, qq)],
+            axis=-2).reshape(*batch, L, c)
+        t *= 2
+        m = h
+    return a
+
+
+def _cross_stage(a, recv, s, s_sh, is_u, q, inverse):
+    """One cross-device butterfly stage. a: own chunk (..., L, c);
+    recv: partner chunk; s/s_sh: (L,) scalars; is_u: scalar bool."""
+    qq = q[:, None]
+    if inverse:
+        # u-side result u+v; v-side result psi*(u-v)
+        u = jnp.where(is_u, a, recv)
+        v = jnp.where(is_u, recv, a)
+        return jnp.where(
+            is_u, mm.add_mod(u, v, qq),
+            mm.shoup_mul(mm.sub_mod(u, v, qq), s[:, None], s_sh[:, None],
+                         qq))
+    u = jnp.where(is_u, a, recv)
+    v = jnp.where(is_u, recv, a)
+    vs = mm.shoup_mul(v, s[:, None], s_sh[:, None], qq)
+    return jnp.where(is_u, mm.add_mod(u, vs, qq), mm.sub_mod(u, vs, qq))
+
+
+# ----------------------------------------------------------------------------
+# public API
+# ----------------------------------------------------------------------------
+
+def ntt_sharded(ring: Ring, x: jax.Array, mesh: Mesh, axis: str = "coeff",
+                inverse: bool = False, limb_axis=None) -> jax.Array:
+    """NTT/iNTT of (..., L, N) with the coefficient axis sharded over
+    `mesh` axis `axis` (and optionally the limb axis over `limb_axis`);
+    bit-identical to ring.ntt / ring.intt.
+
+    The result is sharded (..., limb_axis, axis); inputs may be
+    replicated or already sharded — GSPMD reshards as needed.
+    """
+    C = mesh.shape[axis]
+    logc = C.bit_length() - 1
+    assert (1 << logc) == C, "device axis must be a power of two"
+    tabs = _tables(ring, C)
+    loc, loc_sh = ((tabs["inv_loc"], tabs["inv_loc_sh"]) if inverse
+                   else (tabs["fwd_loc"], tabs["fwd_loc_sh"]))
+    cs, cs_sh, is_u = tabs["inv_cross" if inverse else "fwd_cross"]
+
+    nbatch = x.ndim - 2
+    spec_x = P(*([None] * nbatch + [limb_axis, axis]))
+    la = limb_axis
+
+    perms = []
+    for k in range(logc):
+        dist = (1 << k) if inverse else (C >> (k + 1))
+        perms.append([(i, i ^ dist) for i in range(C)])
+
+    def body(a, loc, loc_sh, cs, cs_sh, is_u, q, ninv, ninv_sh):
+        # shapes in-body: a (..., L_loc, chunk); loc (1, L_loc, chunk);
+        # cs (1, logc, L_loc); is_u (1, logc); q/ninv (L_loc,)
+        if inverse:
+            a = _gs_local(a, loc[0], loc_sh[0], q)
+            for k in range(logc):
+                recv = jax.lax.ppermute(a, axis, perms[k])
+                a = _cross_stage(a, recv, cs[0, k], cs_sh[0, k],
+                                 is_u[0, k], q, inverse=True)
+            return mm.shoup_mul(a, ninv[:, None], ninv_sh[:, None],
+                                q[:, None])
+        for k in range(logc):
+            recv = jax.lax.ppermute(a, axis, perms[k])
+            a = _cross_stage(a, recv, cs[0, k], cs_sh[0, k], is_u[0, k],
+                             q, inverse=False)
+        return _ct_local(a, loc[0], loc_sh[0], q)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_x, P(axis, la, None), P(axis, la, None),
+                  P(axis, None, la), P(axis, None, la), P(axis, None),
+                  P(la), P(la), P(la)),
+        out_specs=spec_x)
+    return fn(x, jnp.asarray(loc), jnp.asarray(loc_sh), jnp.asarray(cs),
+              jnp.asarray(cs_sh), jnp.asarray(is_u), ring.q, ring.ninv,
+              ring.ninv_sh)
