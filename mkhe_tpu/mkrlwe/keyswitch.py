@@ -175,7 +175,8 @@ def mul_and_relin(params: Parameters, ct0: Ciphertext, ct1: Ciphertext,
                   level: int,
                   h0: Optional[HoistedCiphertext] = None,
                   h1: Optional[HoistedCiphertext] = None,
-                  square: bool = False) -> Ciphertext:
+                  square: bool = False,
+                  u_key: Optional[jax.Array] = None) -> Ciphertext:
     """The KKLSS multi-key multiplication with relinearization
     (keyswitch.go:122-230 / keyswitch_hoisted.go:44-179):
 
@@ -208,7 +209,8 @@ def mul_and_relin(params: Parameters, ct0: Ciphertext, ct1: Ciphertext,
     d_keys = slice_swk(params, d_all[sel0], level)
     b_keys = slice_swk(params, b_all[sel1], level)
     v_keys = slice_swk(params, v_all[sel0], level)
-    u_key = params.crs_at(-1, level)
+    if u_key is None:  # overridable so sharded callers can pass it as an
+        u_key = params.crs_at(-1, level)  # operand rather than a constant
 
     ring_qp = params.ring_qp_at(level)
     x = ring_qp.to_mont(_aggregate_keys(params, dec0, d_keys, level))

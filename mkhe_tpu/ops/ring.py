@@ -27,6 +27,12 @@ from .primes import primitive_root_2n, bit_reverse
 
 U32 = jnp.uint32
 
+# When tracing inside a coefficient-sharded shard_map body, set to
+# (axis_name, n_devices) by parallel.dist_ntt.coeff_sharded(); Ring.ntt /
+# Ring.intt then run the hypercube cross-device stages with ppermute so
+# every framework op becomes transparently coeff-shardable.
+_DIST_NTT_CTX = None
+
 
 def _host_tables(moduli: Tuple[int, ...], logn: int):
     """Build all per-limb constant tables with exact python ints."""
@@ -248,6 +254,11 @@ class Ring:
         Barrett-reduced first. On TPU this dispatches to the fused Pallas
         kernel (ops/ntt_pallas.py), bit-identical to the jnp path below.
         """
+        if _DIST_NTT_CTX is not None:
+            from ..parallel import dist_ntt
+            return dist_ntt.ntt_in_shard(self, a, *_DIST_NTT_CTX,
+                                         inverse=False,
+                                         reduce_input=reduce_input)
         from .. import config
         if config.pallas_ntt_enabled(self.logn):
             from . import ntt_pallas
@@ -277,6 +288,11 @@ class Ring:
 
     def intt(self, a, reduce_input: bool = False):
         """Inverse negacyclic NTT (bit-reversed in, standard out)."""
+        if _DIST_NTT_CTX is not None:
+            from ..parallel import dist_ntt
+            return dist_ntt.ntt_in_shard(self, a, *_DIST_NTT_CTX,
+                                         inverse=True,
+                                         reduce_input=reduce_input)
         from .. import config
         if config.pallas_ntt_enabled(self.logn):
             from . import ntt_pallas

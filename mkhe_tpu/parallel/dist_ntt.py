@@ -174,6 +174,68 @@ def _cross_stage(a, recv, s, s_sh, is_u, q, inverse):
 
 
 # ----------------------------------------------------------------------------
+# in-shard dispatch: makes Ring.ntt/intt coeff-sharded inside shard_map
+# ----------------------------------------------------------------------------
+
+import contextlib
+
+
+@contextlib.contextmanager
+def coeff_sharded(axis: str, n_devices: int):
+    """While tracing a shard_map body under this context, every
+    Ring.ntt/Ring.intt call runs its cross-device butterfly stages with
+    ppermute over `axis` — any framework op (decompose, external product,
+    mul_and_relin, ...) becomes transparently coefficient-shardable."""
+    from ..ops import ring as ring_mod
+    prev = ring_mod._DIST_NTT_CTX
+    ring_mod._DIST_NTT_CTX = (axis, n_devices)
+    try:
+        yield
+    finally:
+        ring_mod._DIST_NTT_CTX = prev
+
+
+def ntt_in_shard(ring: Ring, a: jax.Array, axis: str, C: int,
+                 inverse: bool = False, reduce_input: bool = False
+                 ) -> jax.Array:
+    """NTT/iNTT of a LOCAL chunk (..., L, N/C) inside a shard_map body;
+    the per-device twiddle tables are selected by lax.axis_index."""
+    if reduce_input:
+        a = ring.reduce(a)
+    logc = C.bit_length() - 1
+    tabs = _tables(ring, C)
+    d = jax.lax.axis_index(axis)
+
+    def dev(tab):
+        return jax.lax.dynamic_index_in_dim(jnp.asarray(tab), d, 0,
+                                            keepdims=False)
+
+    loc = dev(tabs["inv_loc" if inverse else "fwd_loc"])
+    loc_sh = dev(tabs["inv_loc_sh" if inverse else "fwd_loc_sh"])
+    cs, cs_sh, is_u = tabs["inv_cross" if inverse else "fwd_cross"]
+    cs, cs_sh, is_u = dev(cs), dev(cs_sh), dev(is_u)
+    q = ring.q
+
+    if inverse:
+        a = _gs_local(a, loc, loc_sh, q)
+        for k in range(logc):
+            dist = 1 << k
+            recv = jax.lax.ppermute(a, axis,
+                                    [(i, i ^ dist) for i in range(C)])
+            a = _cross_stage(a, recv, cs[k], cs_sh[k], is_u[k], q,
+                             inverse=True)
+        return mm.shoup_mul(a, ring.ninv[:, None], ring.ninv_sh[:, None],
+                            q[:, None])
+    for k in range(logc):
+        dist = C >> (k + 1)
+        recv = jax.lax.ppermute(a, axis,
+                                [(i, i ^ dist) for i in range(C)])
+        a = _cross_stage(a, recv, cs[k], cs_sh[k], is_u[k], q,
+                         inverse=False)
+    return _ct_local(a, loc, loc_sh, q)
+
+
+# ----------------------------------------------------------------------------
 # public API
 # ----------------------------------------------------------------------------
 
