@@ -81,13 +81,16 @@ def decode(params: Parameters, poly: np.ndarray) -> np.ndarray:
     """Decrypted (Lq, N) uint32 -> int64 slot values (N,), exact."""
     t = params.t
     moduli = params.rlwe.q_moduli[:poly.shape[0]]
-    Q = 1
-    for q in moduli:
-        Q *= q
-    c = crt.crt_reconstruct(poly, moduli)
-    # m = round(t*c/Q) mod t
-    m = np.array([int((t * int(v) + Q // 2) // Q) % t for v in c],
-                 dtype=np.uint32)
+    # m = round(t*c/Q) mod t — native C++ exact path when available
+    from .. import native
+    m = native.bfv_decode_scale(np.asarray(poly), moduli, t)
+    if m is None:
+        Q = 1
+        for q in moduli:
+            Q *= q
+        c = crt.crt_reconstruct(poly, moduli)
+        m = np.array([int((t * int(v) + Q // 2) // Q) % t for v in c],
+                     dtype=np.uint32)
     ring_t = params.ring_t
     slots = np.asarray(ring_t.ntt(jnp.asarray(m[None, :])))[0]
     out = slots[_slot_order(params.logn)].astype(np.int64)

@@ -25,6 +25,17 @@ import functools
 import numpy as np
 
 from ..utils import crt
+from .. import native
+
+
+def _center_float(poly: np.ndarray, moduli) -> np.ndarray:
+    """Exact CRT reconstruction -> centered float64, via the native C++
+    data plane when available (mkhe_tpu/native), else python big-ints."""
+    out = native.crt_center_double(poly, tuple(moduli))
+    if out is not None:
+        return out
+    centered = crt.crt_center(poly, tuple(moduli))
+    return np.array([float(v) for v in centered], np.float64)
 
 
 @functools.lru_cache(maxsize=None)
@@ -63,6 +74,10 @@ def encode(values: np.ndarray, scale: float, moduli, logn: int,
     nh_sub = n_sub // 2
     _, t_pos, t_neg, twist = _tables(sub_logn)
     z = np.asarray(values, np.complex128)
+    if z.shape[0] > nh_sub:
+        raise ValueError(
+            f"too many values for logslots={logslots}: got {z.shape[0]}, "
+            f"capacity {nh_sub}")
     if z.shape[0] != nh_sub:
         full = np.zeros(nh_sub, np.complex128)
         full[:z.shape[0]] = z
@@ -99,30 +114,32 @@ def decode(poly: np.ndarray, scale: float, moduli, logn: int,
     _, t_pos, _, twist = _tables(logn)
     L = poly.shape[0]
     if exact or L == 1:
-        centered = crt.crt_center(poly[: min(L, len(moduli))],
-                                  tuple(moduli)[:L])
-        m = np.array([float(v) for v in centered], np.float64)
+        m = _center_float(poly[: min(L, len(moduli))], tuple(moduli)[:L])
     else:
-        # fast 2-limb CRT: exact while |value| < q0*q1/2. Self-checking:
-        # values larger than that (e.g. after a fractional MultByConst,
-        # which scales by q_level before any Rescale) disagree with the
-        # third limb, and we fall back to the exact big-int CRT.
+        # fast 2-limb CRT: exact while |value| < q0*q1/2. For L > 2 it is
+        # self-checking: the CENTERED candidate is compared against the
+        # third limb's residue, and any mismatch (a value too large for
+        # two limbs, e.g. after a fractional MultByConst, which scales by
+        # q_level before any Rescale) falls back to the exact big-int CRT.
+        # At L == 2 there is no third limb to check against — callers who
+        # may hold magnitudes above q0*q1/2 at the last level must pass
+        # exact=True.
         q0, q1 = int(moduli[0]), int(moduli[1])
         qq = q0 * q1
         inv = pow(q0, -1, q1)
         x0 = poly[0].astype(np.int64)
         x1 = poly[1].astype(np.int64)
         k = ((x1 - x0) * inv) % q1
-        val = x0 + q0 * k
+        val = x0 + q0 * k                      # in [0, q0*q1)
+        val = np.where(val > qq // 2, val - qq, val)   # centered
         if L > 2:
             q2 = int(moduli[2])
-            if not np.array_equal(val % q2, poly[2].astype(np.int64) % q2):
-                centered = crt.crt_center(poly[: min(L, len(moduli))],
-                                          tuple(moduli)[:L])
-                m = np.array([float(v) for v in centered], np.float64)
+            # numpy % maps negative values to the canonical residue
+            if not np.array_equal(val % q2, poly[2].astype(np.int64)):
+                m = _center_float(poly[: min(L, len(moduli))],
+                                  tuple(moduli)[:L])
                 val = None
         if val is not None:
-            val = np.where(val > qq // 2, val - qq, val)
             m = val.astype(np.float64)
     v = (m / scale) * twist
     ev = np.fft.ifft(v) * n

@@ -27,12 +27,6 @@ from .primes import primitive_root_2n, bit_reverse
 
 U32 = jnp.uint32
 
-# When tracing inside a coefficient-sharded shard_map body, set to
-# (axis_name, n_devices) by parallel.dist_ntt.coeff_sharded(); Ring.ntt /
-# Ring.intt then run the hypercube cross-device stages with ppermute so
-# every framework op becomes transparently coeff-shardable.
-_DIST_NTT_CTX = None
-
 
 def _host_tables(moduli: Tuple[int, ...], logn: int):
     """Build all per-limb constant tables with exact python ints."""
@@ -129,7 +123,7 @@ def _host_tables(moduli: Tuple[int, ...], logn: int):
                  "ipsi_sh", "ninv", "ninv_sh", "wpack", "wpack_sh",
                  "iwpack", "iwpack_sh", "twist", "twist_sh", "untwist",
                  "untwist_sh"],
-    meta_fields=["moduli", "logn"],
+    meta_fields=["moduli", "logn", "dist"],
 )
 @dataclasses.dataclass(frozen=True)
 class Ring:
@@ -137,7 +131,14 @@ class Ring:
 
     All array members have leading limb axis L == len(moduli); constants are
     shape (L,), NTT tables (L, N). A Ring is a jax pytree: it can be passed
-    through jit, with (moduli, logn) as static metadata.
+    through jit, with (moduli, logn, dist) as static metadata.
+
+    `dist` — when set to (axis_name, n_devices), ntt/intt assume they are
+    called inside a shard_map body whose coefficient axis is chunk-sharded
+    over that mesh axis, and run the hypercube cross-device butterfly
+    stages with ppermute (parallel/dist_ntt.py). Being jit-key metadata,
+    the distributed and local variants can never collide in a trace cache
+    (unlike the round-1 global-flag dispatch — see ADVICE.md r1).
     """
     moduli: Tuple[int, ...]
     logn: int
@@ -159,6 +160,7 @@ class Ring:
     twist_sh: jax.Array
     untwist: jax.Array
     untwist_sh: jax.Array
+    dist: Tuple[str, int] | None = None
 
     # -- construction -------------------------------------------------------
 
@@ -177,9 +179,17 @@ class Ring:
     def nlimbs(self) -> int:
         return len(self.moduli)
 
+    def with_dist(self, axis: str | None, n_devices: int = 0) -> "Ring":
+        """Copy of this ring whose ntt/intt run coefficient-sharded over
+        mesh axis `axis` (must be called inside a matching shard_map body);
+        with_dist(None) returns the local-NTT ring."""
+        dist = None if axis is None else (axis, n_devices)
+        return dataclasses.replace(self, dist=dist)
+
     def take(self, lo: int, hi: int) -> "Ring":
         """Sub-ring over moduli[lo:hi] (cheap jnp slices; jit-safe)."""
         return Ring(moduli=self.moduli[lo:hi], logn=self.logn,
+                    dist=self.dist,
                     q=self.q[lo:hi], qinv_neg=self.qinv_neg[lo:hi],
                     r2=self.r2[lo:hi], bar=self.bar[lo:hi],
                     psi=self.psi[lo:hi], psi_sh=self.psi_sh[lo:hi],
@@ -191,8 +201,10 @@ class Ring:
         """Ring over moduli ++ other.moduli (the QP ring trick: since every
         op is limb-wise, Q and P parts ride through one batched call)."""
         assert self.logn == other.logn
+        assert self.dist == other.dist or other.dist is None
         cat = lambda a, b: jnp.concatenate([a, b], axis=0)
         return Ring(moduli=self.moduli + other.moduli, logn=self.logn,
+                    dist=self.dist,
                     q=cat(self.q, other.q),
                     qinv_neg=cat(self.qinv_neg, other.qinv_neg),
                     r2=cat(self.r2, other.r2), bar=cat(self.bar, other.bar),
@@ -254,9 +266,9 @@ class Ring:
         Barrett-reduced first. On TPU this dispatches to the fused Pallas
         kernel (ops/ntt_pallas.py), bit-identical to the jnp path below.
         """
-        if _DIST_NTT_CTX is not None:
+        if self.dist is not None:
             from ..parallel import dist_ntt
-            return dist_ntt.ntt_in_shard(self, a, *_DIST_NTT_CTX,
+            return dist_ntt.ntt_in_shard(self, a, *self.dist,
                                          inverse=False,
                                          reduce_input=reduce_input)
         from .. import config
@@ -288,9 +300,9 @@ class Ring:
 
     def intt(self, a, reduce_input: bool = False):
         """Inverse negacyclic NTT (bit-reversed in, standard out)."""
-        if _DIST_NTT_CTX is not None:
+        if self.dist is not None:
             from ..parallel import dist_ntt
-            return dist_ntt.ntt_in_shard(self, a, *_DIST_NTT_CTX,
+            return dist_ntt.ntt_in_shard(self, a, *self.dist,
                                          inverse=True,
                                          reduce_input=reduce_input)
         from .. import config

@@ -93,13 +93,17 @@ _TABLE_CACHE = {}
 
 
 def _tables(ring: Ring, C: int):
-    psi = np.asarray(ring.psi)
-    key = (C, ring.logn, psi[:, 1].tobytes())  # psi^brv(1) pins the moduli
+    key = (C, ring.logn, ring.moduli)
     if key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
-    psi_sh = np.asarray(ring.psi_sh)
-    ipsi = np.asarray(ring.ipsi)
-    ipsi_sh = np.asarray(ring.ipsi_sh)
+    # rebuild concrete tables from the static metadata (lru-cached inside
+    # Ring.create) — ring's own array fields may be tracers when called
+    # during a trace
+    host = Ring.create(ring.moduli, ring.logn)
+    psi = np.asarray(host.psi)
+    psi_sh = np.asarray(host.psi_sh)
+    ipsi = np.asarray(host.ipsi)
+    ipsi_sh = np.asarray(host.ipsi_sh)
     _TABLE_CACHE[key] = out = dict(
         fwd_loc=_local_stage_tables(psi, C),
         fwd_loc_sh=_local_stage_tables(psi_sh, C),
@@ -174,64 +178,74 @@ def _cross_stage(a, recv, s, s_sh, is_u, q, inverse):
 
 
 # ----------------------------------------------------------------------------
-# in-shard dispatch: makes Ring.ntt/intt coeff-sharded inside shard_map
+# in-shard path: Ring.ntt/intt dispatch here when ring.dist is set
 # ----------------------------------------------------------------------------
 
-import contextlib
+import functools
 
 
-@contextlib.contextmanager
-def coeff_sharded(axis: str, n_devices: int):
-    """While tracing a shard_map body under this context, every
-    Ring.ntt/Ring.intt call runs its cross-device butterfly stages with
-    ppermute over `axis` — any framework op (decompose, external product,
-    mul_and_relin, ...) becomes transparently coefficient-shardable."""
-    from ..ops import ring as ring_mod
-    prev = ring_mod._DIST_NTT_CTX
-    ring_mod._DIST_NTT_CTX = (axis, n_devices)
-    try:
-        yield
-    finally:
-        ring_mod._DIST_NTT_CTX = prev
+@functools.lru_cache(maxsize=None)
+def _local_gather_idx(chunk: int, C: int):
+    """Host index maps (A, B) such that device d's local-stage twiddle
+    table is tab[:, A + d*B]: position p in stage-run [m, 2m) reads the
+    global table at (C+d)*m + (p-m) = (C*m + p - m) + d*m. Only the
+    GLOBAL (L, N) table ever lives in the program — one gather replaces
+    the C-times-replicated per-device constants of round 1 (ADVICE r1)."""
+    A = np.zeros(chunk, np.int32)
+    B = np.zeros(chunk, np.int32)
+    m = 1
+    while m < chunk:
+        for p in range(m, 2 * m):
+            A[p] = C * m + p - m
+            B[p] = m
+        m *= 2
+    return A, B
 
 
 def ntt_in_shard(ring: Ring, a: jax.Array, axis: str, C: int,
                  inverse: bool = False, reduce_input: bool = False
                  ) -> jax.Array:
-    """NTT/iNTT of a LOCAL chunk (..., L, N/C) inside a shard_map body;
-    the per-device twiddle tables are selected by lax.axis_index."""
+    """NTT/iNTT of a LOCAL chunk (..., L, N/C) inside a shard_map body.
+
+    All twiddle data is gathered from the ring's global (L, N) tables
+    (valid tracers inside the body) with host-precomputed index maps
+    parameterized by lax.axis_index — no per-device constants, no host
+    materialization of traced arrays."""
     if reduce_input:
         a = ring.reduce(a)
     logc = C.bit_length() - 1
-    tabs = _tables(ring, C)
+    chunk = ring.n // C
     d = jax.lax.axis_index(axis)
-
-    def dev(tab):
-        return jax.lax.dynamic_index_in_dim(jnp.asarray(tab), d, 0,
-                                            keepdims=False)
-
-    loc = dev(tabs["inv_loc" if inverse else "fwd_loc"])
-    loc_sh = dev(tabs["inv_loc_sh" if inverse else "fwd_loc_sh"])
-    cs, cs_sh, is_u = tabs["inv_cross" if inverse else "fwd_cross"]
-    cs, cs_sh, is_u = dev(cs), dev(cs_sh), dev(is_u)
+    tab, tab_sh = ((ring.ipsi, ring.ipsi_sh) if inverse
+                   else (ring.psi, ring.psi_sh))
+    A, B = _local_gather_idx(chunk, C)
+    idx = jnp.asarray(A) + d.astype(jnp.int32) * jnp.asarray(B)
+    loc = jnp.take(tab, idx, axis=-1)
+    loc_sh = jnp.take(tab_sh, idx, axis=-1)
     q = ring.q
+
+    def cross(a, k):
+        if inverse:
+            dist, base, shift = 1 << k, C >> (k + 1), k + 1
+            ubit = k
+        else:
+            dist, base, shift = C >> (k + 1), 1 << k, logc - k
+            ubit = logc - k - 1
+        sidx = base + (d >> shift)
+        s = jnp.take(tab, sidx, axis=-1)
+        s_sh = jnp.take(tab_sh, sidx, axis=-1)
+        is_u = ((d >> ubit) & 1) == 0
+        recv = jax.lax.ppermute(a, axis, [(i, i ^ dist) for i in range(C)])
+        return _cross_stage(a, recv, s, s_sh, is_u, q, inverse=inverse)
 
     if inverse:
         a = _gs_local(a, loc, loc_sh, q)
         for k in range(logc):
-            dist = 1 << k
-            recv = jax.lax.ppermute(a, axis,
-                                    [(i, i ^ dist) for i in range(C)])
-            a = _cross_stage(a, recv, cs[k], cs_sh[k], is_u[k], q,
-                             inverse=True)
+            a = cross(a, k)
         return mm.shoup_mul(a, ring.ninv[:, None], ring.ninv_sh[:, None],
                             q[:, None])
     for k in range(logc):
-        dist = C >> (k + 1)
-        recv = jax.lax.ppermute(a, axis,
-                                [(i, i ^ dist) for i in range(C)])
-        a = _cross_stage(a, recv, cs[k], cs_sh[k], is_u[k], q,
-                         inverse=False)
+        a = cross(a, k)
     return _ct_local(a, loc, loc_sh, q)
 
 
@@ -239,27 +253,13 @@ def ntt_in_shard(ring: Ring, a: jax.Array, axis: str, C: int,
 # public API
 # ----------------------------------------------------------------------------
 
-def ntt_sharded(ring: Ring, x: jax.Array, mesh: Mesh, axis: str = "coeff",
-                inverse: bool = False, limb_axis=None) -> jax.Array:
-    """NTT/iNTT of (..., L, N) with the coefficient axis sharded over
-    `mesh` axis `axis` (and optionally the limb axis over `limb_axis`);
-    bit-identical to ring.ntt / ring.intt.
-
-    The result is sharded (..., limb_axis, axis); inputs may be
-    replicated or already sharded — GSPMD reshards as needed.
-    """
-    C = mesh.shape[axis]
-    logc = C.bit_length() - 1
-    assert (1 << logc) == C, "device axis must be a power of two"
-    tabs = _tables(ring, C)
-    loc, loc_sh = ((tabs["inv_loc"], tabs["inv_loc_sh"]) if inverse
-                   else (tabs["fwd_loc"], tabs["fwd_loc_sh"]))
-    cs, cs_sh, is_u = tabs["inv_cross" if inverse else "fwd_cross"]
-
-    nbatch = x.ndim - 2
-    spec_x = P(*([None] * nbatch + [limb_axis, axis]))
-    la = limb_axis
-
+@functools.lru_cache(maxsize=None)
+def _sharded_fn(mesh: Mesh, axis: str, la, inverse: bool, logc: int,
+                nbatch: int):
+    """jitted SPMD NTT program (eager shard_map would dispatch each
+    butterfly through the SPMD machinery one op at a time)."""
+    C = 1 << logc
+    spec_x = P(*([None] * nbatch + [la, axis]))
     perms = []
     for k in range(logc):
         dist = (1 << k) if inverse else (C >> (k + 1))
@@ -282,12 +282,32 @@ def ntt_sharded(ring: Ring, x: jax.Array, mesh: Mesh, axis: str = "coeff",
                              q, inverse=False)
         return _ct_local(a, loc[0], loc_sh[0], q)
 
-    fn = shard_map(
+    return jax.jit(shard_map(
         body, mesh=mesh,
         in_specs=(spec_x, P(axis, la, None), P(axis, la, None),
                   P(axis, None, la), P(axis, None, la), P(axis, None),
                   P(la), P(la), P(la)),
-        out_specs=spec_x)
+        out_specs=spec_x))
+
+
+def ntt_sharded(ring: Ring, x: jax.Array, mesh: Mesh, axis: str = "coeff",
+                inverse: bool = False, limb_axis=None) -> jax.Array:
+    """NTT/iNTT of (..., L, N) with the coefficient axis sharded over
+    `mesh` axis `axis` (and optionally the limb axis over `limb_axis`);
+    bit-identical to ring.ntt / ring.intt.
+
+    The result is sharded (..., limb_axis, axis); inputs may be
+    replicated or already sharded — GSPMD reshards as needed.
+    """
+    C = mesh.shape[axis]
+    logc = C.bit_length() - 1
+    assert (1 << logc) == C, "device axis must be a power of two"
+    tabs = _tables(ring, C)
+    loc, loc_sh = ((tabs["inv_loc"], tabs["inv_loc_sh"]) if inverse
+                   else (tabs["fwd_loc"], tabs["fwd_loc_sh"]))
+    cs, cs_sh, is_u = tabs["inv_cross" if inverse else "fwd_cross"]
+
+    fn = _sharded_fn(mesh, axis, limb_axis, inverse, logc, x.ndim - 2)
     return fn(x, jnp.asarray(loc), jnp.asarray(loc_sh), jnp.asarray(cs),
               jnp.asarray(cs_sh), jnp.asarray(is_u), ring.q, ring.ninv,
               ring.ninv_sh)

@@ -12,13 +12,17 @@ from mkhe_tpu.parallel import coeff_mul
 
 rng = np.random.default_rng(9)
 
-LOGN = 10
+# Small shapes: the sharded mult compiles the FULL KKLSS graph under SPMD
+# partitioning, which is minutes of XLA CPU compile at logN=10/5 levels
+# (the code paths — cross-device NTT stages, slice_swk, beta(level) — are
+# shape-independent, so logN=8/3 levels covers the same logic).
+LOGN = 8
 
 
 @pytest.fixture(scope="module")
 def ctx():
     params = mkckks.new_parameters(
-        LOGN, LOGN - 1, q0_bits=28.9, level_bits=20.0, levels=4,
+        LOGN, LOGN - 1, q0_bits=28.9, level_bits=20.0, levels=2,
         scale=2.0 ** 40, p_bits=28.4)
     kgen = mkrlwe.KeyGenerator(params.rlwe, seed=51)
     pk_set = mkrlwe.PublicKeySet()
