@@ -113,8 +113,10 @@ def main():
             r = _call(cur, *args, **kw)
             return cur ^ r[0, 0, 0]
 
-        run = jax.jit(lambda d, kk: jax.lax.fori_loop(0, kk, body, d))
-        ms = slope_time_ms(lambda k: run(x, k), 2, 12)
+        run = jax.jit(
+            lambda d, kk: jax.lax.fori_loop(0, kk, body, d)[0, 0, 0])
+        ms = min(slope_time_ms(lambda k: run(x, k), 2, 64)
+                 for _ in range(3))
         per_limb_us = ms * 1e3 / (BATCH * L)
         print(f"{name:34s} {ms:8.3f} ms/call  {per_limb_us:6.2f} us/limb")
         return ms

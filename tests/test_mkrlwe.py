@@ -180,3 +180,28 @@ def test_sparse_and_gaussian_secrets(params, kgen):
         ct = enc.encrypt(None, pk)
         pt = dec.decrypt(ct, sk_set)
         assert _inner_sum_log2(np.asarray(pt), params.q_moduli) <= 11 + LOGN
+
+
+def test_pad_ciphertext_and_idset(params):
+    """pad_ciphertext zero-pads to the id union (elements.go:91-105);
+    IDSet union/intersection semantics (idset.go)."""
+    from mkhe_tpu.mkrlwe import (new_ciphertext, pad_ciphertext, union_ids,
+                                 IDSet)
+    from mkhe_tpu.mkrlwe.elements import Ciphertext
+
+    ct = new_ciphertext(params, ("alice",), level=1)
+    ct = Ciphertext(ids=ct.ids, data=ct.data.at[1].set(7))
+    padded = pad_ciphertext(ct, ("bob", "carol"))
+    assert padded.ids == ("alice", "bob", "carol")
+    assert padded.data.shape[0] == 4
+    np.testing.assert_array_equal(np.asarray(padded.party("alice")),
+                                  np.asarray(ct.party("alice")))
+    assert not np.asarray(padded.party("bob")).any()
+    assert union_ids(("b", "a"), ("a", "c")) == ("a", "b", "c")
+    s = IDSet(("alice", "bob"))
+    t = IDSet(("bob", "carol"))
+    assert sorted(s.union(t).value) == ["alice", "bob", "carol"]
+    assert sorted(s.intersection(t).value) == ["bob"]
+    assert s.has("alice") and not s.has("carol")
+    with pytest.raises(ValueError):
+        IDSet(("0",))

@@ -83,3 +83,24 @@ def test_to_from_mont_roundtrip():
                    np.uint32(r2))
     back = mm.from_mont(m, np.uint32(q), np.uint32(qinv_neg))
     np.testing.assert_array_equal(np.asarray(back), a)
+
+
+def test_security_estimator():
+    """HE-standard budgets: the framework's presets stay within the
+    128-bit ternary caps their names claim (PN15QP880 <= 881 etc.)."""
+    from mkhe_tpu.utils import security
+    from mkhe_tpu import mkckks
+
+    assert security.max_logqp(15, 128) == 881
+    assert security.max_logqp(14, 128) == 438
+    p = mkckks.PN15QP880()
+    lvl, total = security.check_security(
+        p.rlwe.logn, p.rlwe.q_moduli, p.rlwe.p_moduli)
+    assert lvl >= 128 and total <= 881
+    p = mkckks.PN14QP439()
+    lvl, total = security.check_security(
+        p.rlwe.logn, p.rlwe.q_moduli, p.rlwe.p_moduli)
+    assert lvl >= 128 and total <= 438
+    import pytest
+    with pytest.raises(ValueError):
+        security.check_security(10, [2**28 - 57] * 4, minimum=128)
