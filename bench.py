@@ -1,16 +1,22 @@
 """Headline benchmark: 4-party MKCKKS homomorphic multiply+relinearize at
-logN=15 (the reference's BenchmarkMKCKKS/MulAndRelin configuration,
-mkckks/mkckks_benchmark_test.go:11-84, params mkckks_test.go:51-72).
+logN=15 — the reference's BenchmarkMKCKKS/MulAndRelin configuration
+(mkckks/mkckks_benchmark_test.go:11-84: DISTINCT operands ct0 = sum(cts),
+ct1 = alternating sum, both k-party; params mkckks_test.go:51-72), plus an
+on-device correctness gate at the same flagship parameters.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "correct",
+...}. vs_baseline divides by a MEASURED single-core CPU baseline: a C++
+implementation of the reference's exact op sequence
+(mkhe_tpu/native/ref_model.cpp, results in BASELINE_MEASURED.json,
+regenerable with benchmarks/baseline_cpu.py). The container has no Go
+toolchain; g++ -O3 -march=native favors the baseline, making vs_baseline
+conservative.
 
-Baseline: the Go reference publishes no numbers and this container has no
-Go toolchain to run its harness, so the single-core Go baseline is
-estimated at 2000 ms per 4-party logN=15 MulRelinNew from the reference's
-operation count (~900 N=2^15 limb-NTTs plus digit products at ~1.5 ms per
-u64 limb-NTT single-core) — consistent with the timings reported in the
-KKLSS paper (eprint 2022/347) for comparable parameters. vs_baseline is
-baseline_ms / measured_ms (higher = faster than reference).
+The correctness gate runs AFTER timing: one real MulRelinNew at PN15QP880
+decrypted against the plaintext product with the reference's noise bound
+(mkckks_test.go:351-362: log2|delta| <= -log2(scale) + logSlots + 12), and
+one MKBFV PN15QP880 mult decrypted with exact integer equality
+(mkbfv_test.go:301,412). A wrong result at flagship scale fails the run.
 """
 
 import json
@@ -18,7 +24,102 @@ import os
 import sys
 import time
 
-GO_BASELINE_MS = 2000.0  # estimated; see module docstring
+# Fallbacks if BASELINE_MEASURED.json is absent: measured 2026-08-20 on
+# Intel Xeon @ 2.10GHz with benchmarks/baseline_cpu.py (best of 3).
+FALLBACK_BASELINE_MS = {2: 1257.1, 4: 2200.7}
+
+
+def load_baseline_ms(parties: int) -> float:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        return float(doc["results"][f"mkckks_mulrelin_logn15_"
+                                    f"{parties}party_ms"])
+    except (OSError, KeyError, ValueError):
+        # linear-in-parties interpolation off the 4-party measurement
+        return FALLBACK_BASELINE_MS.get(
+            parties, FALLBACK_BASELINE_MS[4] * parties / 4.0)
+
+
+def ckks_correctness(parties: int) -> dict:
+    """One real mult+relin+rescale at PN15QP880, decrypted and checked
+    against the reference noise bound. Returns check results."""
+    import math
+    import numpy as np
+    from mkhe_tpu import mkrlwe, mkckks
+
+    params = mkckks.PN15QP880()
+    kgen = mkrlwe.KeyGenerator(params.rlwe, seed=11)
+    sks = mkrlwe.SecretKeySet()
+    rlk = mkrlwe.RelinearizationKeySet()
+    pks = {}
+    for i in range(parties):
+        uid = f"user{i}"
+        sk, pk = kgen.gen_key_pair(uid)
+        r = kgen.gen_secret_key(uid)
+        sks.add(sk)
+        rlk.add(kgen.gen_relinearization_key(sk, r))
+        pks[uid] = pk
+    enc = mkckks.Encryptor(params, seed=12)
+    dec = mkckks.Decryptor(params)
+    ev = mkckks.Evaluator(params)
+    rng = np.random.default_rng(7)
+
+    ct0, ct1, want0, want1 = None, None, 0, 0
+    for i in range(parties):
+        m = mkckks.Message(
+            value=rng.uniform(0.1 / parties, 1.0 / parties, params.slots)
+            + 1j * rng.uniform(0.1 / parties, 1.0 / parties, params.slots))
+        c = enc.encrypt_msg(m, pks[f"user{i}"])
+        ct0 = c if ct0 is None else ev.add_new(ct0, c)
+        want0 = want0 + m.value
+        ct1 = c if ct1 is None else ev.sub_new(ct1, c)
+        want1 = (want1 - m.value) if i else m.value
+    res = ev.mul_relin_new(ct0, ct1, rlk)
+    got = dec.decrypt(res, sks).value
+    want = want0 * want1
+    err = float(np.max(np.abs(got - want)))
+    bound = -math.log2(params.scale) + params.logslots + 12
+    log2_err = math.log2(max(err, 1e-300))
+    return {"ckks_log2_err": round(log2_err, 2),
+            "ckks_bound": round(bound, 2),
+            "ckks_ok": bool(log2_err <= bound)}
+
+
+def bfv_correctness() -> dict:
+    """One exact MKBFV mult at PN15QP880 (2 parties), integer equality."""
+    import numpy as np
+    from mkhe_tpu import mkrlwe, mkbfv
+
+    params = mkbfv.PN15QP880()
+    kgen = mkbfv.KeyGenerator(params, seed=13)
+    sks = mkrlwe.SecretKeySet()
+    rlk = mkbfv.RelinearizationKeySet()
+    pks = {}
+    for i in range(2):
+        uid = f"user{i}"
+        sk, pk = kgen.gen_key_pair(uid)
+        r = kgen.gen_secret_key(uid)
+        sks.add(sk)
+        rlk.add(kgen.gen_relinearization_key_bfv(sk, r))
+        pks[uid] = pk
+    enc = mkbfv.Encryptor(params, seed=14)
+    dec = mkbfv.Decryptor(params)
+    ev = mkbfv.Evaluator(params)
+    rng = np.random.default_rng(9)
+    t = params.t
+    m0 = rng.integers(-(t // 2) + 1, t // 2, params.n, dtype=np.int64)
+    m1 = rng.integers(-(t // 2) + 1, t // 2, params.n, dtype=np.int64)
+    c0 = enc.encrypt_msg(m0, pks["user0"])
+    c1 = enc.encrypt_msg(m1, pks["user1"])
+    res = ev.mul_relin_new(c0, c1, rlk)
+    got = dec.decrypt(res, sks)
+    want = np.mod(m0 * m1, t)
+    want = np.where(want > t // 2, want - t, want)
+    exact = bool(np.array_equal(got, want))
+    return {"bfv_exact": exact}
 
 
 def main():
@@ -48,13 +149,17 @@ def main():
     ev = mkckks.Evaluator(params)
     rng = np.random.default_rng(0)
 
-    ct = None
+    # Distinct operands exactly as the reference bench builds them
+    # (mkckks_benchmark_test.go:66-76): ct0 = running sum, ct1 = running
+    # difference — same k-party id set, different data.
+    ct0, ct1 = None, None
     for i in range(parties):
         msg = mkckks.Message(
             value=rng.uniform(0.1 / parties, 1.0 / parties, params.slots)
             + 1j * rng.uniform(0.1 / parties, 1.0 / parties, params.slots))
         c = enc.encrypt_msg(msg, pks[f"user{i}"])
-        ct = c if ct is None else ev.add_new(ct, c)
+        ct0 = c if ct0 is None else ev.add_new(ct0, c)
+        ct1 = c if ct1 is None else ev.sub_new(ct1, c)
 
     # Timing protocol: run K full mult+relin+rescale pipelines INSIDE one
     # jit graph, chained by a zero-valued data dependency, ending in a
@@ -67,32 +172,35 @@ def main():
     from mkhe_tpu.ops import basis as _basis
 
     rp = params.rlwe
-    level = ct.level
-    b, d, v = rlk.stacked(ct.ids)
-    rct = ct.ct
+    level = ct0.level
+    b, d, v = rlk.stacked(ct0.ids)
+    rct0, rct1 = ct0.ct, ct1.ct
     iters = int(os.environ.get("BENCH_ITERS", "8"))
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def chained(data, b, d, v, k):
-        cur = data
+    def chained(data0, data1, b, d, v, k):
+        cur0, cur1 = data0, data1
         out = None
         for _ in range(k):
-            c = dataclasses.replace(rct, data=cur)
-            out = _ksw.mul_and_relin(rp, c, c, (b, d, v), level,
-                                     square=True)
+            c0 = dataclasses.replace(rct0, data=cur0)
+            c1 = dataclasses.replace(rct1, data=cur1)
+            out = _ksw.mul_and_relin(rp, c0, c1, (b, d, v), level)
             res = _basis.div_round_by_last_moduli(
                 out.data, rp.ring_q_at(level), 2)
             # Feed a genuine data dependency forward so XLA cannot CSE the
             # k identical multiplies into one: XOR one output word into
-            # the next input. The chained ciphertexts decrypt to garbage,
+            # the next inputs. The chained ciphertexts decrypt to garbage,
             # but every op is data-independent in cost, so the timing is
-            # representative (correctness is covered by the test suite).
-            cur = data ^ res[0, 0, 0]
+            # representative; REAL correctness at these parameters is
+            # asserted below (ckks_correctness/bfv_correctness).
+            cur0 = data0 ^ res[0, 0, 0]
+            cur1 = data1 ^ res[0, 0, 1]
         return res
 
-    r1 = chained(rct.data, b, d, v, 1)
+    args = (rct0.data, rct1.data, b, d, v)
+    r1 = chained(*args, 1)
     _ = int(r1[0, 0, 0])  # compile k=1
-    rk = chained(rct.data, b, d, v, iters)
+    rk = chained(*args, iters)
     _ = int(rk[0, 0, 0])  # compile k=iters
     # slope: per-mult time with dispatch/fetch overhead removed; min over
     # repeats rejects relay/host scheduling noise (device time is the
@@ -101,21 +209,36 @@ def main():
     dt_ms = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        r1 = chained(rct.data, b, d, v, 1)
+        r1 = chained(*args, 1)
         _ = int(r1[0, 0, 0])
         t1_ms = (time.perf_counter() - t0) * 1000.0
         t0 = time.perf_counter()
-        rk = chained(rct.data, b, d, v, iters)
+        rk = chained(*args, iters)
         _ = int(rk[0, 0, 0])
         tk_ms = (time.perf_counter() - t0) * 1000.0
         dt_ms = min(dt_ms, max((tk_ms - t1_ms) / (iters - 1), 1e-6))
 
+    # ---- correctness gate at flagship parameters (after timing) ----------
+    checks = {}
+    if os.environ.get("BENCH_SKIP_CORRECTNESS") != "1":
+        checks.update(ckks_correctness(parties))
+        checks.update(bfv_correctness())
+        correct = bool(checks.get("ckks_ok") and checks.get("bfv_exact"))
+    else:
+        correct = None
+
+    baseline_ms = load_baseline_ms(parties)
     print(json.dumps({
         "metric": f"mkckks_mulrelin_logn15_{parties}party_latency",
         "value": round(dt_ms, 3),
         "unit": "ms",
-        "vs_baseline": round(GO_BASELINE_MS / dt_ms, 3),
+        "vs_baseline": round(baseline_ms / dt_ms, 3),
+        "baseline_ms": baseline_ms,
+        "baseline_kind": "measured_cpp_ref_model",
+        "correct": correct,
+        **checks,
     }))
+    return 0 if (correct is None or correct) else 1
 
 
 if __name__ == "__main__":
