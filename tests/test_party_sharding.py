@@ -1,69 +1,151 @@
-"""Party-axis sharded multiplication (shard_map + psum over the party
-dimension) matches the single-device result."""
+"""Party-axis sharded multiplication/rotation (shard_map + psum over the
+party dimension) matches the single-device results bit-for-bit:
+square, distinct-operand, hoisted-operand, id-set union, and rotate.
+Reference shapes: mkrlwe/keyswitch.go:122-230,234-298 and
+keyswitch_hoisted.go:44-179,183-247 under the party axis."""
 
 import numpy as np
 import pytest
 
 from mkhe_tpu import mkrlwe, mkckks, parallel
 from mkhe_tpu.mkrlwe import keyswitch as ksw
-from mkhe_tpu.parallel.party_mul import mul_and_relin_party_sharded
+from mkhe_tpu.parallel.party_mul import (mul_and_relin_party_sharded,
+                                         rotate_party_sharded)
 
 
-def test_party_sharded_mul_matches():
+@pytest.fixture(scope="module")
+def ctx():
     params = mkckks.new_parameters(
         9, 8, q0_bits=28.9, level_bits=20.0, levels=2, scale=2.0 ** 40,
         p_bits=28.4)
     users = [f"u{i}" for i in range(4)]
     kgen = mkrlwe.KeyGenerator(params.rlwe, seed=91)
     rlk = mkrlwe.RelinearizationKeySet()
+    rtk = mkrlwe.RotationKeySet()
     sk_set = mkrlwe.SecretKeySet()
     pks = {}
     for uid in users:
         sk, pk = kgen.gen_key_pair(uid)
         sk_set.add(sk)
         rlk.add(kgen.gen_relinearization_key(sk, kgen.gen_secret_key(uid)))
+        rtk.add(kgen.gen_rotation_key(2, sk))
         pks[uid] = pk
     enc = mkckks.Encryptor(params, seed=92)
     ev = mkckks.Evaluator(params)
     rng = np.random.default_rng(14)
-    ct = None
-    msg = np.zeros(params.slots, np.complex128)
+    cts, msgs = {}, {}
     for uid in users:
         m = rng.uniform(-0.2, 0.2, params.slots) \
             + 1j * rng.uniform(-0.2, 0.2, params.slots)
-        c = enc.encrypt_msg(mkckks.Message(value=m), pks[uid])
-        ct = c if ct is None else ev.add_new(ct, c)
-        msg = msg + m
+        cts[uid] = enc.encrypt_msg(mkckks.Message(value=m), pks[uid])
+        msgs[uid] = m
 
-    b, d, v = rlk.stacked(ct.ids)
-    ref = ksw.mul_and_relin(params.rlwe, ct.ct, ct.ct, (b, d, v),
-                            ct.level, square=True)
-
-    mesh = parallel.make_mesh(4, rns=1)
-    # rename axes: party sharding uses its own 1-d mesh over 4 devices
     import jax
     from jax.sharding import Mesh
     from jax.experimental import mesh_utils
     pmesh = Mesh(mesh_utils.create_device_mesh((4,),
                                                devices=jax.devices()[:4]),
                  ("party",))
-    out = mul_and_relin_party_sharded(params.rlwe, ct.ct, (b, d, v), pmesh)
+    pmesh2 = Mesh(mesh_utils.create_device_mesh((2,),
+                                                devices=jax.devices()[:2]),
+                  ("party",))
+    return dict(params=params, users=users, sk=sk_set, rlk=rlk, rtk=rtk,
+                ev=ev, cts=cts, msgs=msgs, mesh=pmesh, mesh2=pmesh2)
 
-    # identical up to the documented psum-before-ModDown rounding: compare
-    # decrypted messages instead of raw limbs
+
+def _sum_ct(ctx, uids, sign=False):
+    ev = ctx["ev"]
+    ct, msg = None, 0
+    for i, uid in enumerate(uids):
+        c = ctx["cts"][uid]
+        m = ctx["msgs"][uid]
+        if ct is None:
+            ct, msg = c, m
+        elif sign and i % 2:
+            ct, msg = ev.sub_new(ct, c), msg - m
+        else:
+            ct, msg = ev.add_new(ct, c), msg + m
+    return ct, msg
+
+
+def test_party_sharded_mul_square(ctx):
+    params = ctx["params"]
+    ct, msg = _sum_ct(ctx, ctx["users"])
+    b, d, v = ctx["rlk"].stacked(ct.ids)
+    ref = ksw.mul_and_relin(params.rlwe, ct.ct, ct.ct, (b, d, v),
+                            ct.level, square=True)
+    out = mul_and_relin_party_sharded(params.rlwe, ct.ct, (b, d, v),
+                                      ctx["mesh"])
     np.testing.assert_array_equal(np.asarray(out.data),
                                   np.asarray(ref.data))
     dec = mkckks.Decryptor(params)
     scale = ct.scale * ct.scale
-    # unrescaled product (scale^2 ~ 2^80) needs the exact CRT decode path
-    m_ref = dec.decrypt(mkckks.Ciphertext(ct=ref, scale=scale), sk_set,
+    m_out = dec.decrypt(mkckks.Ciphertext(ct=out, scale=scale), ctx["sk"],
                         exact=True)
-    m_out = dec.decrypt(mkckks.Ciphertext(ct=out, scale=scale), sk_set,
-                        exact=True)
-    err = np.max(np.abs(m_ref.value - m_out.value))
     want_err = np.max(np.abs(m_out.value - msg * msg))
-    assert err < 1e-6
     import math
-    # noise bound relative to the base scale (product not yet rescaled)
     assert math.log2(max(want_err, 1e-300)) <= \
         -math.log2(params.scale) + params.logslots + 13
+
+
+def test_party_sharded_mul_distinct(ctx):
+    """Distinct operands (the reference bench shape), 4 parties / 4 dev."""
+    params = ctx["params"]
+    ct0, _ = _sum_ct(ctx, ctx["users"])
+    ct1, _ = _sum_ct(ctx, ctx["users"], sign=True)
+    b, d, v = ctx["rlk"].stacked(ct0.ids)
+    ref = ksw.mul_and_relin(params.rlwe, ct0.ct, ct1.ct, (b, d, v),
+                            ct0.level)
+    out = mul_and_relin_party_sharded(params.rlwe, ct0.ct, (b, d, v),
+                                      ctx["mesh"], ct1=ct1.ct)
+    np.testing.assert_array_equal(np.asarray(out.data),
+                                  np.asarray(ref.data))
+
+
+def test_party_sharded_mul_hoisted(ctx):
+    """Hoisted operands: cached decompositions sharded over the party
+    axis give bit-identical results to in-shard decomposition."""
+    params = ctx["params"]
+    ct0, _ = _sum_ct(ctx, ctx["users"])
+    ct1, _ = _sum_ct(ctx, ctx["users"], sign=True)
+    b, d, v = ctx["rlk"].stacked(ct0.ids)
+    h0 = ksw.hoisted_form(params.rlwe, ct0.ct)
+    h1 = ksw.hoisted_form(params.rlwe, ct1.ct)
+    ref = ksw.mul_and_relin(params.rlwe, ct0.ct, ct1.ct, (b, d, v),
+                            ct0.level, h0=h0, h1=h1)
+    out = mul_and_relin_party_sharded(params.rlwe, ct0.ct, (b, d, v),
+                                      ctx["mesh"], ct1=ct1.ct, h0=h0, h1=h1)
+    np.testing.assert_array_equal(np.asarray(out.data),
+                                  np.asarray(ref.data))
+
+
+def test_party_sharded_mul_union(ctx):
+    """Operands with different id sets: zero-pad to the union (2 parties
+    each, union 4) and match the single-device union path."""
+    params = ctx["params"]
+    u = ctx["users"]
+    ct0, _ = _sum_ct(ctx, u[:2])
+    ct1, _ = _sum_ct(ctx, u[2:])
+    from mkhe_tpu.mkrlwe.elements import union_ids
+    ids = union_ids(ct0.ct.ids, ct1.ct.ids)
+    b, d, v = ctx["rlk"].stacked(ids)
+    ref = ksw.mul_and_relin(params.rlwe, ct0.ct, ct1.ct, (b, d, v),
+                            ct0.level)
+    out = mul_and_relin_party_sharded(params.rlwe, ct0.ct, (b, d, v),
+                                      ctx["mesh"], ct1=ct1.ct)
+    assert out.ids == ref.ids
+    np.testing.assert_array_equal(np.asarray(out.data),
+                                  np.asarray(ref.data))
+
+
+@pytest.mark.parametrize("hoisted", [False, True])
+def test_party_sharded_rotate(ctx, hoisted):
+    params = ctx["params"]
+    ct, _ = _sum_ct(ctx, ctx["users"])
+    rtk = ctx["rtk"].stacked(ct.ids, 2)
+    h = ksw.hoisted_form(params.rlwe, ct.ct) if hoisted else None
+    ref = ksw.rotate(params.rlwe, ct.ct, 2, rtk, h=h)
+    out = rotate_party_sharded(params.rlwe, ct.ct, 2, rtk, ctx["mesh"],
+                               h=h)
+    np.testing.assert_array_equal(np.asarray(out.data),
+                                  np.asarray(ref.data))
