@@ -106,6 +106,83 @@ def new_parameters(logn: int, logslots: int, q0_bits: float,
     return Parameters(rlwe=rl, logslots=logslots, scale=scale)
 
 
+def from_literal(doc) -> Parameters:
+    """Build Parameters from a reference-style ParametersLiteral JSON
+    document (the schema of the reference's `-params` test flag,
+    mkrlwe/mkrlwe_test.go:18,56-60 / ckks.ParametersLiteral):
+
+        {"LogN": 14, "LogSlots": 13, "Q": [primes...], "P": [primes...],
+         "Scale": 2^52, "Gamma": 2}
+
+    Q/P entries may be ints, hex strings, or bit-sizes (floats < 64). Each
+    64-bit modulus maps to a pair of ~half-width uint32 NTT primes whose
+    product is within ~1e-3 of it (a triple for moduli over ~57.8 bits:
+    uint32 limbs are capped at 2^29, see ops/modmath.py); total modulus
+    size, scale, and level budget are preserved, which is what governs
+    security and noise.
+    """
+    import json
+    import math
+
+    if isinstance(doc, str):
+        with open(doc) as f:
+            doc = json.load(f)
+    logn = int(doc["LogN"])
+    logslots = int(doc.get("LogSlots", logn - 1))
+    scale = float(doc.get("Scale", 2.0 ** 40))
+    gamma = int(doc.get("Gamma", 2))
+
+    def bits_of(entry) -> float:
+        if isinstance(entry, str):
+            return math.log2(int(entry, 0))
+        if isinstance(entry, float) and entry < 64:
+            return entry
+        return math.log2(int(entry))
+
+    q_bits = [bits_of(e) for e in doc["Q"]]
+    p_bits = [bits_of(e) for e in doc["P"]]
+
+    used = set()
+
+    def split(bits: float, parts: int) -> Tuple[int, ...]:
+        """Pick `parts` distinct u32 NTT primes with product ~ 2^bits."""
+        per = bits / parts
+        pool = [p for p in ntt_primes(logn, per, 24 + 2 * parts)
+                if p not in used]
+        target = 2.0 ** bits
+        if parts == 1:
+            best = min(pool, key=lambda p: abs(p / target - 1.0))
+            used.add(best)
+            return (best,)
+        best = None
+        for i in range(len(pool)):
+            for j in range(i + 1, len(pool)):
+                base = pool[i] * pool[j]
+                if parts == 2:
+                    err = abs(base / target - 1.0)
+                    if best is None or err < best[0]:
+                        best = (err, (pool[i], pool[j]))
+                else:
+                    for k in range(j + 1, len(pool)):
+                        err = abs(base * pool[k] / target - 1.0)
+                        if best is None or err < best[0]:
+                            best = (err, (pool[i], pool[j], pool[k]))
+        used.update(best[1])
+        return best[1]
+
+    def to_limbs(bits_list):
+        out = []
+        for b in bits_list:
+            parts = 1 if b <= 28.9 else (2 if b <= 57.8 else 3)
+            out.extend(split(b, parts))
+        return tuple(out)
+
+    q_moduli = to_limbs(q_bits)
+    p_moduli = to_limbs(p_bits)
+    rl = mkrlwe.new_parameters(logn, q_moduli, p_moduli, gamma=gamma)
+    return Parameters(rlwe=rl, logslots=logslots, scale=scale)
+
+
 # -- presets (equivalents of the reference parameter sets) -------------------
 
 @functools.lru_cache(maxsize=None)

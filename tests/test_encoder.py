@@ -70,3 +70,34 @@ def test_sparse_packing_rejects_too_many_values():
     vals = np.ones((1 << logslots) + 1, np.complex128)
     with pytest.raises(ValueError, match="too many values"):
         encoder.encode(vals, SCALE, MODULI, LOGN, logslots=logslots)
+
+
+def test_params_from_literal_json(tmp_path):
+    """Reference-style ParametersLiteral JSON override (the -params flag,
+    mkrlwe/mkrlwe_test.go:18,56-60): moduli map to u32 limb pairs with
+    preserved sizes, and the resulting params encrypt/decrypt."""
+    import json
+    import math
+    import numpy as np
+    from mkhe_tpu import mkrlwe, mkckks
+
+    doc = {"LogN": 9, "LogSlots": 8, "Scale": 2.0 ** 40,
+           "Q": [57.8, 40.0, 40.0], "P": [56.8], "Gamma": 2}
+    path = tmp_path / "params.json"
+    path.write_text(json.dumps(doc))
+    params = mkckks.from_literal(str(path))
+    assert params.logn == 9 and params.slots == 256
+    # per-modulus sizes preserved within 0.2%
+    lq = list(params.rlwe.q_moduli)
+    assert abs(math.log2(lq[0] * lq[1]) - 57.8) < 0.1
+    assert abs(math.log2(lq[2] * lq[3]) - 40.0) < 0.1
+    kgen = mkrlwe.KeyGenerator(params.rlwe, seed=61)
+    sk, pk = kgen.gen_key_pair("u0")
+    sks = mkrlwe.SecretKeySet(); sks.add(sk)
+    enc = mkckks.Encryptor(params, seed=62)
+    dec = mkckks.Decryptor(params)
+    rng = np.random.default_rng(5)
+    m = rng.uniform(-1, 1, params.slots) + 1j * rng.uniform(-1, 1, params.slots)
+    out = dec.decrypt(enc.encrypt_msg(mkckks.Message(value=m), pk), sks)
+    err = np.max(np.abs(out.value - m))
+    assert math.log2(max(err, 1e-300)) <= -math.log2(params.scale) + params.logslots + 8

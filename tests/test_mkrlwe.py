@@ -205,3 +205,39 @@ def test_pad_ciphertext_and_idset(params):
     assert s.has("alice") and not s.has("carol")
     with pytest.raises(ValueError):
         IDSet(("0",))
+
+
+def test_encrypt_domains(params, kgen):
+    """All four plaintext/ciphertext NTT-domain combinations decrypt to
+    the same message up to fresh-encryption noise (encryptor.go:55-118)."""
+    import jax.numpy as jnp
+    rng_l = np.random.default_rng(77)
+    sk, pk = kgen.gen_key_pair("user9")
+    dec = mkrlwe.Decryptor(params)
+    sk_set = mkrlwe.SecretKeySet()
+    sk_set.add(sk)
+    ring = params.ring_q
+    # a plaintext with large coefficients so noise is relatively tiny
+    msg = rng_l.integers(0, 1 << 24, params.ring_q.n, dtype=np.uint32)
+    pt = jnp.broadcast_to(jnp.asarray(msg),
+                          (len(params.q_moduli), params.ring_q.n))
+    pt = ring.reduce(pt)
+    pt_ntt = ring.ntt(pt)
+    outs = []
+    for ptv, pn in ((pt, False), (pt_ntt, True)):
+        for cn in (False, True):
+            enc = mkrlwe.Encryptor(params, seed=13)  # same randomness
+            ct = enc.encrypt(ptv, pk, pt_ntt=pn, ct_ntt=cn)
+            data = ct.data
+            if cn:  # decryptor expects coeff-domain ciphertexts
+                data = ring.intt(data)
+            out = dec.decrypt(mkrlwe.Ciphertext(ids=ct.ids, data=data),
+                              sk_set)
+            outs.append(np.asarray(out))
+    # identical randomness => identical ciphertext up to domain: all four
+    # decryptions are bit-equal
+    for o in outs[1:]:
+        np.testing.assert_array_equal(o, outs[0])
+    # and the decryption equals the plaintext up to fresh noise
+    diff = ring.sub(jnp.asarray(outs[0]), pt)
+    assert _inner_sum_log2(np.asarray(diff), params.q_moduli) <= 9 + LOGN
