@@ -119,6 +119,11 @@ def _conjugate_core(rp, ct, cks):
     return ksw.conjugate(rp, ct, cks)
 
 
+@functools.partial(jax.jit, static_argnames=("rot_idxs",))
+def _rotate_many_core(rp, ct, rot_idxs, rtk_multi, h):
+    return ksw.rotate_hoisted_batched(rp, ct, rot_idxs, rtk_multi, h)
+
+
 @functools.partial(jax.jit, static_argnames=("level",))
 def _mul_ptxt_core(rp, data, pt, level):
     ring = rp.ring_q_at(level)
@@ -374,6 +379,26 @@ class Evaluator:
                            "(reference panics too, evaluator.go:615)")
         out = self._rotate(ct, rot_idx, rtk_set, h)
         return Ciphertext(ct=out, scale=ct.scale)
+
+    def rotate_hoisted_many_new(self, ct: Ciphertext, rot_idxs, h,
+                                rtk_set) -> list:
+        """All R rotations of one hoisted ciphertext in a single batched
+        compiled pass (ksw.rotate_hoisted_batched) — bit-identical to R
+        rotate_hoisted_new calls. Used by the CNN's FC1 (cnn/cnn.go:42-71
+        reuses one decomposition across its 8 rotations)."""
+        import jax.numpy as jnp
+        idxs = tuple(self._normalize_rot(r) for r in rot_idxs)
+        if any(i == 0 for i in idxs):
+            raise ValueError("rotation by 0 is the identity; drop it")
+        for i in idxs:
+            if i not in self.params.rlwe.crs:
+                raise KeyError(f"no CRS for rotation {i}")
+        rtk_multi = jnp.stack([rtk_set.stacked(ct.ids, i) for i in idxs])
+        data = _rotate_many_core(self.params.rlwe, ct.ct, idxs, rtk_multi,
+                                 h)
+        return [Ciphertext(ct=mkrlwe.Ciphertext(ids=ct.ids, data=data[r]),
+                           scale=ct.scale)
+                for r in range(len(idxs))]
 
     def conjugate_new(self, ct: Ciphertext, cjk_set) -> Ciphertext:
         cks = cjk_set.stacked(ct.ids)

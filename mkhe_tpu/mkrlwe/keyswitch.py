@@ -302,6 +302,39 @@ def rotate(params: Parameters, ct: Ciphertext, rot_idx: int,
     return rotate_with(params, ct, rtk_stacked, a, src, sign, h)
 
 
+def rotate_hoisted_batched(params: Parameters, ct: Ciphertext,
+                           rot_idxs: Tuple[int, ...],
+                           rtk_multi: jax.Array,
+                           h: HoistedCiphertext) -> jax.Array:
+    """R rotations of ONE hoisted ciphertext in a single batched pass.
+
+    The reference amortizes the decomposition across FC1's 8 rotations via
+    RotateHoisted in a Go loop (cnn/cnn.go:42-71,
+    keyswitch_hoisted.go:183-247); on TPU we additionally batch the R
+    external products and Galois permutations over a leading axis so one
+    compiled region processes all rotations (bigger contractions, one pass
+    over the shared digits).
+
+    rtk_multi: (R, k, beta, Lqp, N) stacked rotation keys per index.
+    Returns data (R, k+1, Lq, N); bit-identical to R calls of rotate().
+    """
+    level = ct.level
+    ring_q = params.ring_q_at(level)
+    dec = slice_digits(params, h.digits, level)        # (k, beta, Lqp, N)
+    rks = slice_swk(params, rtk_multi, level)          # (R, k, beta, Lqp, N)
+    a_multi = jnp.stack([params.crs_at(idx, level) for idx in rot_idxs])
+    src = jnp.stack([rotation_tables(params, idx)[0] for idx in rot_idxs])
+    sign = jnp.stack([rotation_tables(params, idx)[1] for idx in rot_idxs])
+
+    s = _sum_parties_ntt(params, dec[None], rks, level)   # (R, Lqp, N)
+    c0 = ring_q.add(ct.data[0][None],
+                    mod_down_qp(params, s, level))        # (R, Lq, N)
+    ci = external_product(params, dec[None], a_multi[:, None], level)
+    out = jnp.concatenate([c0[:, None], ci], axis=1)      # (R, k+1, Lq, N)
+    g = jnp.take_along_axis(out, src[:, None, None, :], axis=-1)
+    return jnp.where(sign[:, None, None, :] == 1, ring_q.neg(g), g)
+
+
 def conjugate(params: Parameters, ct: Ciphertext,
               cjk_stacked: jax.Array) -> Ciphertext:
     """Conjugation (keyswitch.go:302-332): permute first, then key-switch."""

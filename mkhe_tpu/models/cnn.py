@@ -157,10 +157,18 @@ def convolution(ev: mkckks.Evaluator, rlk, rtk, ct_image, h_image,
 
 def fc1_layer(ev: mkckks.Evaluator, rlk, rtk, ct_vec, h_vec, ct_mat,
               h_mat, ct_bias):
-    """8 diagonal blocks + log-tree over 128 + bias (cnn/cnn.go:42-71)."""
+    """8 diagonal blocks + log-tree over 128 + bias (cnn/cnn.go:42-71).
+
+    The reference reuses one hoisted decomposition across the 8 rotations
+    in a Go loop; here the 7 non-identity rotations additionally run as
+    ONE batched compiled pass (rotate_hoisted_many_new), bit-identical to
+    the loop."""
+    n = len(ct_mat)
+    rots = ev.rotate_hoisted_many_new(
+        ct_vec, [i * 128 for i in range(1, n)], h_vec, rtk)
     out = None
-    for i in range(len(ct_mat)):
-        tmp = ev.rotate_hoisted_new(ct_vec, i * 128, h_vec, rtk)
+    for i in range(n):
+        tmp = ct_vec if i == 0 else rots[i - 1]
         h_tmp = ev.hoisted_form(tmp)
         tmp = ev.mul_relin_hoisted_new(tmp, ct_mat[i], h_tmp, h_mat[i], rlk)
         out = tmp if out is None else ev.add_new(out, tmp)

@@ -109,12 +109,17 @@ def _inv_kernel(n, logn, x_ref, iwpack_ref, iwpack_sh_ref, untwist_ref,
 def _ntt_call(x, t1, t1_sh, t2, t2_sh, q, bar, logn, inverse, reduce_input):
     n = 1 << logn
     b, lpad = x.shape[0], x.shape[1]
-    grid = (b, lpad // LIMB_TILE)
-    tbl = lambda: pl.BlockSpec((LIMB_TILE, n), lambda i, j: (j, 0),
+    # limb-tile dim OUTERMOST (grid iterates the last dim fastest): the
+    # four (8, n) twiddle-table blocks depend only on j, so Mosaic's
+    # pipeline keeps them resident in VMEM across all b batch steps
+    # instead of re-fetching 4 MB of tables per 1 MB of data — table HBM
+    # traffic drops from ~3x the data traffic to ~1/b of it.
+    grid = (lpad // LIMB_TILE, b)
+    tbl = lambda: pl.BlockSpec((LIMB_TILE, n), lambda j, i: (j, 0),
                                memory_space=pltpu.VMEM)
-    col = lambda: pl.BlockSpec((LIMB_TILE, 1), lambda i, j: (j, 0),
+    col = lambda: pl.BlockSpec((LIMB_TILE, 1), lambda j, i: (j, 0),
                                memory_space=pltpu.VMEM)
-    dat = pl.BlockSpec((1, LIMB_TILE, n), lambda i, j: (i, j, 0),
+    dat = pl.BlockSpec((1, LIMB_TILE, n), lambda j, i: (i, j, 0),
                        memory_space=pltpu.VMEM)
     kern = functools.partial(_inv_kernel if inverse else _fwd_kernel,
                              n, logn, reduce_input=reduce_input)

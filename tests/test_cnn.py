@@ -100,6 +100,11 @@ def test_convolution_layer(ctx):
                     (c, i, j, out[slot], want[c, i, j])
 
 
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="logN=14 full pipeline, ~15 homomorphic mults "
+                           "(minutes on CPU); run with RUN_SLOW=1 — the "
+                           "driver bench covers it on TPU via "
+                           "benchmarks/bench_cnn.py")
 def test_cnn_end_to_end(ctx):
     params, ev = ctx["params"], ctx["ev"]
     kernels, fc1, fc2, b1, b2 = cnn.load_weights()

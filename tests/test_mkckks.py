@@ -319,3 +319,22 @@ def test_mult_by_fractional_const(params, ctx):
         rs = ctx["ev"].rescale(ctx["ev"].mult_by_const_new(ct, c))
         out2 = ctx["dec"].decrypt(rs, ctx["sk"])
         _assert_close(params, out2.value, m.value * c, 11)
+
+
+def test_rotate_hoisted_many_bit_identical(params, ctx):
+    """Batched multi-rotation (one compiled pass over stacked keys) is
+    bit-identical to sequential hoisted rotations."""
+    m = _rand_msg(params, -1, 1)
+    ev = ctx["ev"]
+    ct1 = ctx["enc"].encrypt_msg(m, ctx["pk"].get("user0"))
+    ct2 = ctx["enc"].encrypt_msg(_rand_msg(params, -1, 1),
+                                 ctx["pk"].get("user1"))
+    ct = ev.add_new(ct1, ct2)
+    h = ev.hoisted_form(ct)
+    idxs = [1, 4, 16]
+    batched = ev.rotate_hoisted_many_new(ct, idxs, h, ctx["rtk"])
+    for idx, got in zip(idxs, batched):
+        ref = ev.rotate_hoisted_new(ct, idx, h, ctx["rtk"])
+        np.testing.assert_array_equal(np.asarray(got.ct.data),
+                                      np.asarray(ref.ct.data))
+        assert got.scale == ref.scale
