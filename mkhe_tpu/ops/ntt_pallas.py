@@ -34,10 +34,17 @@ LIMB_TILE = 8
 
 
 def _fwd_kernel(n, logn, x_ref, wpack_ref, wpack_sh_ref, twist_ref,
-                twist_sh_ref, q_ref, bar_ref, out_ref, *, reduce_input):
+                twist_sh_ref, q_ref, bar_ref, out_ref, *, reduce_input,
+                head_only=False):
     """Harvey-style lazy butterflies: values stay in [0, 2q) between
     stages (q < 2^29 so all intermediates fit uint32); one final csub
-    restores canonical form — bit-identical to the jnp path."""
+    restores canonical form — bit-identical to the jnp path.
+
+    head_only: run only the stages with half-block h >= 128 and emit the
+    LAZY (< 2q) values — the remaining 7 stages are one fixed 128x128
+    linear map per limb (Ring.tail_fwd) applied afterwards on the MXU
+    (_tail_apply); composition is exact mod q, so the final output is
+    still bit-identical to the jnp path."""
     a = x_ref[0]
     q = q_ref[:]
     q2 = q * jnp.uint32(2)
@@ -47,7 +54,8 @@ def _fwd_kernel(n, logn, x_ref, wpack_ref, wpack_sh_ref, twist_ref,
     a = mm.shoup_mul_lazy(a, twist_ref[:], twist_sh_ref[:], q)
     lane = jax.lax.broadcasted_iota(jnp.int32, (LIMB_TILE, n), 1)
     off = 0
-    for s in range(1, logn + 1):
+    last_stage = (logn - 7) if head_only else logn
+    for s in range(1, last_stage + 1):
         h = n >> s
         p = pltpu.roll(a, n - h, 1)   # p[j] = a[j+h]
         mn = pltpu.roll(a, h, 1)      # mn[j] = a[j-h]
@@ -63,16 +71,21 @@ def _fwd_kernel(n, logn, x_ref, wpack_ref, wpack_sh_ref, twist_ref,
             bot = mm.shoup_mul_lazy(diff, tw, tw_sh, q)  # < 2q
         a = jnp.where(first, top, bot)
         off += h
-    out_ref[0] = mm.csub(a, q)
+    out_ref[0] = a if head_only else mm.csub(a, q)
 
 
 def _inv_kernel(n, logn, x_ref, iwpack_ref, iwpack_sh_ref, untwist_ref,
-                untwist_sh_ref, q_ref, bar_ref, out_ref, *, reduce_input):
-    """Lazy DIT (values in [0, 2q) between stages; see _fwd_kernel)."""
+                untwist_sh_ref, q_ref, bar_ref, out_ref, *, reduce_input,
+                tail_done=False):
+    """Lazy DIT (values in [0, 2q) between stages; see _fwd_kernel).
+
+    tail_done: the first 7 stages (h = 1..64) were already applied as the
+    fixed 128x128 tail map (Ring.tail_inv) on the MXU before this kernel;
+    start at h = 128 (input canonical from the tail's exact reduction)."""
     a = x_ref[0]
     q = q_ref[:]
     q2 = q * jnp.uint32(2)
-    if reduce_input:
+    if reduce_input and not tail_done:
         a = mm.barrett_reduce(a, q, bar_ref[:])
     lane = jax.lax.broadcasted_iota(jnp.int32, (LIMB_TILE, n), 1)
     # DIT stages: h = 1, 2, ..., n/2; stage s has packed offset matching
@@ -82,7 +95,7 @@ def _inv_kernel(n, logn, x_ref, iwpack_ref, iwpack_sh_ref, untwist_ref,
     for s in range(1, logn + 1):
         offs[n >> s] = off
         off += n >> s
-    h = 1
+    h = 128 if tail_done else 1
     while h < n:
         p = pltpu.roll(a, n - h, 1)
         mn = pltpu.roll(a, h, 1)
@@ -105,8 +118,9 @@ def _inv_kernel(n, logn, x_ref, iwpack_ref, iwpack_sh_ref, untwist_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("logn", "inverse",
-                                             "reduce_input"))
-def _ntt_call(x, t1, t1_sh, t2, t2_sh, q, bar, logn, inverse, reduce_input):
+                                             "reduce_input", "mxu_tail"))
+def _ntt_call(x, t1, t1_sh, t2, t2_sh, q, bar, logn, inverse, reduce_input,
+              mxu_tail=False):
     n = 1 << logn
     b, lpad = x.shape[0], x.shape[1]
     # limb-tile dim OUTERMOST (grid iterates the last dim fastest): the
@@ -121,8 +135,14 @@ def _ntt_call(x, t1, t1_sh, t2, t2_sh, q, bar, logn, inverse, reduce_input):
                                memory_space=pltpu.VMEM)
     dat = pl.BlockSpec((1, LIMB_TILE, n), lambda j, i: (i, j, 0),
                        memory_space=pltpu.VMEM)
-    kern = functools.partial(_inv_kernel if inverse else _fwd_kernel,
-                             n, logn, reduce_input=reduce_input)
+    if inverse:
+        kern = functools.partial(_inv_kernel, n, logn,
+                                 reduce_input=reduce_input,
+                                 tail_done=mxu_tail)
+    else:
+        kern = functools.partial(_fwd_kernel, n, logn,
+                                 reduce_input=reduce_input,
+                                 head_only=mxu_tail)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -135,10 +155,57 @@ def _ntt_call(x, t1, t1_sh, t2, t2_sh, q, bar, logn, inverse, reduce_input):
     )(x, t1, t1_sh, t2, t2_sh, q, bar)
 
 
+def _tail_apply(x, tail_m, tail_pow, q, qinv_neg):
+    """Apply the per-limb fixed 128x128 tail map on the MXU.
+
+    x: (b, L, n) uint32, ANY u32 values (5 base-2^7 digit planes represent
+    u32 exactly, so lazy inputs are fine — the result is the exact mod-q
+    image, canonical). tail_m: (L, 5, 128, 128) int8 digit planes of the
+    map M with out_block = x_block @ M; tail_pow: (L, 9) with
+    2^(7t) * 2^32 mod q. 25 s8 x s8 -> s32 MXU matmuls (partial sums
+    <= 5*128*127^2 < 2^24), recombined with one Montgomery reduction.
+    """
+    from .ring import TAIL_DIGITS, TAIL_DIGIT_BITS
+    b, L, n = x.shape
+    blocks = n // 128
+    nd = TAIL_DIGITS
+    dbits = np.uint32(TAIL_DIGIT_BITS)
+    dmask = np.uint32((1 << TAIL_DIGIT_BITS) - 1)
+    x4 = x.reshape(b, L, blocks, 128)
+    s_t = [None] * (2 * nd - 1)
+    for k in range(nd):
+        dk = ((x4 >> (dbits * np.uint32(k))) & dmask).astype(jnp.int8)
+        for l in range(nd):
+            p = jax.lax.dot_general(
+                dk, tail_m[:, l],
+                dimension_numbers=(((3,), (1,)), ((1,), (0,))),
+                preferred_element_type=jnp.int32)  # (L, b, blocks, 128)
+            t = k + l
+            s_t[t] = p if s_t[t] is None else s_t[t] + p
+    qc = q[:, None, None, None]
+    acc = mm.mul_accum_init(s_t[0].shape)
+    for t in range(2 * nd - 1):
+        acc = mm.mul_accum_step(acc, s_t[t].astype(jnp.uint32),
+                                tail_pow[:, t][:, None, None, None])
+    r = mm.mont_reduce_wide(acc[0], acc[1], qc,
+                            qinv_neg[:, None, None, None])
+    r = mm.csub(r, qc)
+    return jnp.moveaxis(r, 0, 1).reshape(b, L, n)
+
+
 def ntt_batched(ring, a, inverse: bool = False, reduce_input: bool = False):
     """Drop-in for Ring.ntt/intt on TPU: (..., L, N) -> (..., L, N).
     Pads the limb axis to a multiple of 8 (padded rows use limb 0's
-    modulus and are discarded)."""
+    modulus and are discarded).
+
+    With config.pallas_ntt_mxu_tail (default), the 7 small-h butterfly
+    stages — the roll-dominated ~60% of the fused kernel (BENCH_NOTES r3
+    ntt_probe) — run as one 128x128 Z_q matrix per limb on the MXU via
+    int8-digit matmuls (_tail_apply); the Pallas kernel runs only the
+    h >= 128 stages. Outputs stay bit-identical to the jnp path.
+    """
+    from .. import config
+
     L = a.shape[-2]
     n = ring.n
     batch_shape = a.shape[:-2]
@@ -146,6 +213,8 @@ def ntt_batched(ring, a, inverse: bool = False, reduce_input: bool = False):
     x = a.reshape(b, L, n)
     lpad = -(-L // LIMB_TILE) * LIMB_TILE
     pad_rows = lpad - L
+    mxu_tail = bool(getattr(config, "pallas_ntt_mxu_tail", True)) \
+        and n >= 256
 
     def padded(t):
         if pad_rows:
@@ -159,11 +228,20 @@ def ntt_batched(ring, a, inverse: bool = False, reduce_input: bool = False):
     q = padded(ring.q[:, None])
     bar = padded(ring.bar[:, None])
     if inverse:
+        if mxu_tail:
+            x = _tail_apply(x, padded(ring.tail_inv), padded(ring.tail_pow),
+                            padded(ring.q), padded(ring.qinv_neg))
         out = _ntt_call(x, padded(ring.iwpack), padded(ring.iwpack_sh),
                         padded(ring.untwist), padded(ring.untwist_sh),
-                        q, bar, ring.logn, True, reduce_input)
+                        q, bar, ring.logn, True, reduce_input,
+                        mxu_tail=mxu_tail)
     else:
         out = _ntt_call(x, padded(ring.wpack), padded(ring.wpack_sh),
                         padded(ring.twist), padded(ring.twist_sh),
-                        q, bar, ring.logn, False, reduce_input)
+                        q, bar, ring.logn, False, reduce_input,
+                        mxu_tail=mxu_tail)
+        if mxu_tail:
+            out = _tail_apply(out, padded(ring.tail_fwd),
+                              padded(ring.tail_pow), padded(ring.q),
+                              padded(ring.qinv_neg))
     return out[:, :L].reshape(*batch_shape, L, n)

@@ -109,12 +109,96 @@ def _host_tables(moduli: Tuple[int, ...], logn: int):
                        ).astype(np.uint32)
         untwist_sh[i] = ((untwist[i].astype(object) << 32) // qi
                          ).astype(np.uint32)
+    tail_fwd, tail_inv, tail_pow = _tail_matrices(
+        moduli, logn, wpack, iwpack)
     return dict(q=q, qinv_neg=qinv_neg, r2=r2, bar=bar, psi=psi,
                 psi_sh=psi_sh, ipsi=ipsi, ipsi_sh=ipsi_sh, ninv=ninv,
                 ninv_sh=ninv_sh, wpack=wpack, wpack_sh=wpack_sh,
                 iwpack=iwpack, iwpack_sh=iwpack_sh, twist=twist,
                 twist_sh=twist_sh, untwist=untwist,
-                untwist_sh=untwist_sh)
+                untwist_sh=untwist_sh, tail_fwd=tail_fwd,
+                tail_inv=tail_inv, tail_pow=tail_pow)
+
+
+TAIL_LANES = 128  # butterflies with half-block h < TAIL_LANES are the
+#                   "tail": they stay within one 128-lane block and their
+#                   twiddle patterns are block-periodic, so their
+#                   composition is one fixed 128x128 linear map over Z_q
+#                   per limb — the Pallas kernels run it on the MXU as
+#                   int8-digit matmuls instead of 7 lane-roll VPU stages.
+
+
+TAIL_DIGITS = 5      # base-2^7 digit planes: values 0..127 fit int8
+TAIL_DIGIT_BITS = 7  # exactly (no balanced-digit corrections), the MXU's
+#                      native s8xs8->s32 path; 5*7 = 35 bits covers any
+#                      u32 input exactly.
+
+
+def _tail_matrices(moduli, logn: int, wpack: np.ndarray,
+                   iwpack: np.ndarray):
+    """Per-limb 128x128 tail maps as base-2^7 int8 digit planes (for the
+    MXU's s8 x s8 -> s32 path), plus recombination constants
+    2^(7t) * 2^32 mod q for t = 0..2*(TAIL_DIGITS-1).
+
+    tail_fwd[i] composes the forward DIF stages with h = 64..1 (exact
+    simulation of ops/ntt_pallas._fwd_kernel's arithmetic over Z_q);
+    tail_inv[i] the inverse DIT stages h = 1..64. Layout: out = x @ M
+    (rows of x are 128-lane blocks).
+    """
+    n = 1 << logn
+    L = len(moduli)
+    lanes = min(TAIL_LANES, n)
+    nd = TAIL_DIGITS
+    # stage offsets into the packed twiddle tables
+    offs = {}
+    off = 0
+    for s in range(1, logn + 1):
+        offs[n >> s] = off
+        off += n >> s
+    lane = np.arange(lanes)
+    mask = np.uint64((1 << TAIL_DIGIT_BITS) - 1)
+    tail_fwd = np.empty((L, nd, lanes, lanes), np.int8)
+    tail_inv = np.empty((L, nd, lanes, lanes), np.int8)
+    tail_pow = np.empty((L, 2 * nd - 1), np.uint32)
+    for i, qi in enumerate(moduli):
+        q = np.uint64(qi)
+        # forward: DIF stages h = lanes/2 .. 1
+        M = np.eye(lanes, dtype=np.uint64)
+        h = lanes // 2
+        while h >= 1:
+            first = (lane & h) == 0
+            tw = (np.tile(wpack[i, offs[h]:offs[h] + h], lanes // h)
+                  .astype(np.uint64) if h > 1 else np.ones(lanes, np.uint64))
+            p = np.roll(M, -h, axis=1)
+            mn = np.roll(M, h, axis=1)
+            top = (M + p) % q
+            bot = ((mn + q - M) % q) * tw[None, :] % q
+            M = np.where(first[None, :], top, bot)
+            h //= 2
+        for k in range(nd):
+            tail_fwd[i, k] = ((M >> np.uint64(TAIL_DIGIT_BITS * k))
+                              & mask).astype(np.int8)
+        # inverse: DIT stages h = 1 .. lanes/2
+        M = np.eye(lanes, dtype=np.uint64)
+        h = 1
+        while h < lanes:
+            first = (lane & h) == 0
+            tw = (np.tile(iwpack[i, offs[h]:offs[h] + h], lanes // h)
+                  .astype(np.uint64) if h > 1 else np.ones(lanes, np.uint64))
+            p = np.roll(M, -h, axis=1)
+            mn = np.roll(M, h, axis=1)
+            operand = np.where(first[None, :], p, M)
+            v = operand * tw[None, :] % q
+            top = (M + v) % q
+            bot = (mn + q - v) % q
+            M = np.where(first[None, :], top, bot)
+            h *= 2
+        for k in range(nd):
+            tail_inv[i, k] = ((M >> np.uint64(TAIL_DIGIT_BITS * k))
+                              & mask).astype(np.int8)
+        for t in range(2 * nd - 1):
+            tail_pow[i, t] = ((1 << (TAIL_DIGIT_BITS * t + 32)) % qi)
+    return tail_fwd, tail_inv, tail_pow
 
 
 @functools.partial(
@@ -122,7 +206,7 @@ def _host_tables(moduli: Tuple[int, ...], logn: int):
     data_fields=["q", "qinv_neg", "r2", "bar", "psi", "psi_sh", "ipsi",
                  "ipsi_sh", "ninv", "ninv_sh", "wpack", "wpack_sh",
                  "iwpack", "iwpack_sh", "twist", "twist_sh", "untwist",
-                 "untwist_sh"],
+                 "untwist_sh", "tail_fwd", "tail_inv", "tail_pow"],
     meta_fields=["moduli", "logn", "dist"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -160,6 +244,9 @@ class Ring:
     twist_sh: jax.Array
     untwist: jax.Array
     untwist_sh: jax.Array
+    tail_fwd: jax.Array   # (L, 4, 128, 128) uint8 digit planes (MXU tail)
+    tail_inv: jax.Array   # (L, 4, 128, 128) uint8
+    tail_pow: jax.Array   # (L, 7) 2^(8t)*2^32 mod q (recombination)
     dist: Tuple[str, int] | None = None
 
     # -- construction -------------------------------------------------------
@@ -195,7 +282,7 @@ class Ring:
                     psi=self.psi[lo:hi], psi_sh=self.psi_sh[lo:hi],
                     ipsi=self.ipsi[lo:hi], ipsi_sh=self.ipsi_sh[lo:hi],
                     ninv=self.ninv[lo:hi], ninv_sh=self.ninv_sh[lo:hi],
-                    wpack=self.wpack[lo:hi], wpack_sh=self.wpack_sh[lo:hi], iwpack=self.iwpack[lo:hi], iwpack_sh=self.iwpack_sh[lo:hi], twist=self.twist[lo:hi], twist_sh=self.twist_sh[lo:hi], untwist=self.untwist[lo:hi], untwist_sh=self.untwist_sh[lo:hi])
+                    wpack=self.wpack[lo:hi], wpack_sh=self.wpack_sh[lo:hi], iwpack=self.iwpack[lo:hi], iwpack_sh=self.iwpack_sh[lo:hi], twist=self.twist[lo:hi], twist_sh=self.twist_sh[lo:hi], untwist=self.untwist[lo:hi], untwist_sh=self.untwist_sh[lo:hi], tail_fwd=self.tail_fwd[lo:hi], tail_inv=self.tail_inv[lo:hi], tail_pow=self.tail_pow[lo:hi])
 
     def concat(self, other: "Ring") -> "Ring":
         """Ring over moduli ++ other.moduli (the QP ring trick: since every
@@ -214,7 +301,7 @@ class Ring:
                     ipsi_sh=cat(self.ipsi_sh, other.ipsi_sh),
                     ninv=cat(self.ninv, other.ninv),
                     ninv_sh=cat(self.ninv_sh, other.ninv_sh),
-                    wpack=cat(self.wpack, other.wpack), wpack_sh=cat(self.wpack_sh, other.wpack_sh), iwpack=cat(self.iwpack, other.iwpack), iwpack_sh=cat(self.iwpack_sh, other.iwpack_sh), twist=cat(self.twist, other.twist), twist_sh=cat(self.twist_sh, other.twist_sh), untwist=cat(self.untwist, other.untwist), untwist_sh=cat(self.untwist_sh, other.untwist_sh))
+                    wpack=cat(self.wpack, other.wpack), wpack_sh=cat(self.wpack_sh, other.wpack_sh), iwpack=cat(self.iwpack, other.iwpack), iwpack_sh=cat(self.iwpack_sh, other.iwpack_sh), twist=cat(self.twist, other.twist), twist_sh=cat(self.twist_sh, other.twist_sh), untwist=cat(self.untwist, other.untwist), untwist_sh=cat(self.untwist_sh, other.untwist_sh), tail_fwd=cat(self.tail_fwd, other.tail_fwd), tail_inv=cat(self.tail_inv, other.tail_inv), tail_pow=cat(self.tail_pow, other.tail_pow))
 
     # -- broadcast helpers --------------------------------------------------
 

@@ -85,3 +85,63 @@ def test_lazy_input_reduction():
     out2 = np.asarray(ring.ntt(jnp.asarray(lazy.astype(np.uint32)),
                                reduce_input=True))
     np.testing.assert_array_equal(out1, out2)
+
+
+def test_mxu_tail_apply_exact():
+    """The int8-digit MXU tail map (ntt_pallas._tail_apply) equals the
+    direct simulation of the 7 small-h butterfly stages over Z_q, for
+    lazy (< 2q) and arbitrary u32 inputs."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mkhe_tpu.ops.ring import Ring
+    from mkhe_tpu.ops.primes import ntt_primes
+    from mkhe_tpu.ops import ntt_pallas
+
+    logn = 11
+    n = 1 << logn
+    moduli = ntt_primes(logn, 28.9, 3)
+    ring = Ring.create(moduli, logn)
+    rng = np.random.default_rng(8)
+    x = rng.integers(0, 1 << 32, (2, 3, n), np.uint64).astype(np.uint32)
+
+    def simulate(xrow, q, wpack_row, inverse):
+        # exact numpy replay of the tail stages on each 128-lane block
+        offs = {}
+        off = 0
+        for s in range(1, logn + 1):
+            offs[n >> s] = off
+            off += n >> s
+        blocks = xrow.reshape(-1, 128).astype(np.uint64)
+        lane = np.arange(128)
+        hs = [1, 2, 4, 8, 16, 32, 64] if inverse else [64, 32, 16, 8, 4, 2, 1]
+        a = blocks % q
+        for h in hs:
+            first = (lane & h) == 0
+            tw = (np.tile(wpack_row[offs[h]:offs[h] + h], 128 // h)
+                  .astype(np.uint64) if h > 1 else np.ones(128, np.uint64))
+            p = np.roll(a, -h, axis=1)
+            mn = np.roll(a, h, axis=1)
+            if inverse:
+                operand = np.where(first[None], p, a)
+                v = operand * tw[None] % q
+                a = np.where(first[None], (a + v) % q, (mn + q - v) % q)
+            else:
+                top = (a + p) % q
+                bot = ((mn + q - a) % q) * tw[None] % q
+                a = np.where(first[None], top, bot)
+        return a.reshape(-1).astype(np.uint32)
+
+    for inverse in (False, True):
+        tm = ring.tail_inv if inverse else ring.tail_fwd
+        got = np.asarray(ntt_pallas._tail_apply(
+            jnp.asarray(x), tm, ring.tail_pow, ring.q, ring.qinv_neg))
+        for bi in range(2):
+            for li, q in enumerate(moduli):
+                want = simulate(x[bi, li],
+                                np.uint64(q),
+                                np.asarray(ring.iwpack[li] if inverse
+                                           else ring.wpack[li]),
+                                inverse)
+                np.testing.assert_array_equal(got[bi, li], want,
+                                              err_msg=f"inv={inverse} "
+                                                      f"limb={li}")
