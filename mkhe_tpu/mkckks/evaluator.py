@@ -125,6 +125,11 @@ def _rotate_many_core(rp, ct, rot_idxs, rtk_multi, h):
 
 
 @functools.partial(jax.jit, static_argnames=("level",))
+def _mul_relin_sum_core(rp, pairs, b, d, v, level):
+    return ksw.mul_and_relin_sum(rp, pairs, (b, d, v), level)
+
+
+@functools.partial(jax.jit, static_argnames=("level",))
 def _mul_ptxt_core(rp, data, pt, level):
     ring = rp.ring_q_at(level)
     pm = ring.to_mont(ring.ntt(pt))
@@ -281,6 +286,35 @@ class Evaluator:
             square=square and (h0 is h1))
         res = Ciphertext(ct=out, scale=ct0.scale * ct1.scale)
         return self.rescale(res)
+
+    def mul_relin_sum_new(self, pairs, rlk_set) -> Ciphertext:
+        """Inner product sum_i a_i * b_i with lazy relinearization
+        (ksw.mul_and_relin_sum): one deferred ModDown/t-path for the
+        whole sum instead of one per term. Decrypts to the same value as
+        sum of mul_relin_new results with slightly smaller noise. pairs:
+        list of (ct0, ct1) or (ct0, ct1, h0, h1)."""
+        pairs = [p if len(p) == 4 else (p[0], p[1], None, None)
+                 for p in pairs]
+        level = min(min(p[0].level, p[1].level) for p in pairs)
+        scale = pairs[0][0].scale * pairs[0][1].scale
+        rp = self.params.rlwe
+        rpairs = []
+        for c0, c1, h0, h1 in pairs:
+            if c0.scale * c1.scale != scale:
+                raise ValueError("pairs must share the product scale")
+            c0a, c1a, lv = self._align_levels(c0, c1)
+            if lv != level:  # drop to the common level
+                c0a = Ciphertext(ct=RCt(
+                    ids=c0a.ids, data=c0a.ct.data[..., :level + 1, :]),
+                    scale=c0a.scale)
+                c1a = Ciphertext(ct=RCt(
+                    ids=c1a.ids, data=c1a.ct.data[..., :level + 1, :]),
+                    scale=c1a.scale)
+            rpairs.append((c0a.ct, c1a.ct, h0, h1))
+        ids = union_ids(rpairs[0][0].ids, rpairs[0][1].ids)
+        b, d, v = rlk_set.stacked(ids)
+        out = _mul_relin_sum_core(rp, tuple(rpairs), b, d, v, level)
+        return self.rescale(Ciphertext(ct=out, scale=scale))
 
     def mul_relin_batched_new(self, cts0, cts1, rlk_set):
         """Throughput-oriented batched MulRelin: vmap the whole

@@ -252,6 +252,99 @@ def mul_and_relin(params: Parameters, ct0: Ciphertext, ct1: Ciphertext,
     return Ciphertext(ids=ids, data=out_arr)
 
 
+def mul_and_relin_sum(params: Parameters, pairs, rlk_stacked, level: int,
+                      u_key: Optional[jax.Array] = None) -> Ciphertext:
+    """sum_i MulAndRelin(a_i, b_i) with the relinearization tail deferred
+    across the whole inner product (lazy relinearization).
+
+    pairs: sequence of (ct0, ct1, h0, h1) with IDENTICAL id sets across
+    pairs (h0/h1 may be None). All accumulations happen in the NTT domain
+    BEFORE the expensive conversions, so the sum costs:
+
+      - ONE iNTT+ModDown for the z1 path (instead of P),
+      - ONE ModDown + re-decomposition + v/u external products for the
+        t path (instead of P) — the t re-decomposition is ~half of each
+        mult's NTT work,
+      - ONE iNTT of the tensor accumulator.
+
+    The result decrypts to sum_i a_i*b_i with slightly SMALLER noise than
+    the staged sum (one rounding instead of P); it is not bit-identical
+    to it (same trade as the documented psum-before-ModDown deviation).
+    The reference evaluates such inner products (cnn/cnn.go:10-71) as P
+    independent MulRelins + adds; this is the TPU-native fused form.
+    """
+    ct0_0, ct1_0 = pairs[0][0], pairs[0][1]
+    ids0, ids1 = ct0_0.ids, ct1_0.ids
+    ids = union_ids(ids0, ids1)
+    for p_ in pairs[1:]:
+        if p_[0].ids != ids0 or p_[1].ids != ids1:
+            raise ValueError("mul_and_relin_sum needs identical id sets "
+                             "across pairs")
+    ring_q = params.ring_q_at(level)
+    ring_qp = params.ring_qp_at(level)
+    sel0 = np.array([ids.index(i) for i in ids0])
+    sel1 = np.array([ids.index(i) for i in ids1])
+    b_all, d_all, v_all = rlk_stacked
+    d_keys = slice_swk(params, d_all[sel0], level)
+    b_keys = slice_swk(params, b_all[sel1], level)
+    v_keys = slice_swk(params, v_all[sel0], level)
+    if u_key is None:
+        u_key = params.crs_at(-1, level)
+
+    out_ntt = None          # (1+k, Lq, N) tensor accumulator, NTT domain
+    z1_qp = None            # (k1, Lqp, N) NTT-domain z1 accumulator
+    t_qp = None             # (k0, Lqp, N) NTT-domain t accumulator
+    for ct0, ct1, h0, h1 in pairs:
+        square = ct0.data is ct1.data
+        d0 = ct0.data[..., :level + 1, :]
+        d1 = d0 if square else ct1.data[..., :level + 1, :]
+        dec0 = (slice_digits(params, h0.digits, level) if h0 is not None
+                else decompose(params, d0[1:], level))
+        if square and (h1 is None or h1 is h0):
+            dec1 = dec0
+        else:
+            dec1 = (slice_digits(params, h1.digits, level)
+                    if h1 is not None else decompose(params, d1[1:], level))
+
+        x = ring_qp.to_mont(_aggregate_keys(params, dec0, d_keys, level))
+        y = ring_qp.to_mont(_aggregate_keys(params, dec1, b_keys, level))
+
+        nt0 = ring_q.ntt(d0)
+        nt1 = nt0 if square else ring_q.ntt(d1)
+        nt0_0m = ring_q.to_mont(nt0[0])
+        nt1_0m = ring_q.to_mont(nt1[0])
+        terms = [None] * (len(ids) + 1)
+        terms[0] = ring_q.mul_mont(nt1[0], nt0_0m)
+        for j, pid in enumerate(ids):
+            acc = None
+            if pid in ids0:
+                acc = ring_q.mul_mont(nt0[1 + ids0.index(pid)], nt1_0m)
+            if pid in ids1:
+                tt = ring_q.mul_mont(nt1[1 + ids1.index(pid)], nt0_0m)
+                acc = tt if acc is None else ring_q.add(acc, tt)
+            terms[1 + j] = (acc if acc is not None
+                            else jnp.zeros_like(terms[0]))
+        tensor = jnp.stack(terms)
+        out_ntt = tensor if out_ntt is None else ring_q.add(out_ntt, tensor)
+
+        z1 = external_product_ntt(params, dec1, x, level)
+        z1_qp = z1 if z1_qp is None else ring_qp.add(z1_qp, z1)
+        t = external_product_ntt(params, dec0, y, level)
+        t_qp = t if t_qp is None else ring_qp.add(t_qp, t)
+
+    out_arr = ring_q.intt(out_ntt)
+    z1 = mod_down_qp(params, z1_qp, level)
+    out_arr = out_arr.at[1 + sel1].set(ring_q.add(out_arr[1 + sel1], z1))
+    t = mod_down_qp(params, t_qp, level)           # (k0, Lq, N)
+    dec_t = decompose(params, t, level)
+    v_sum = mod_down_qp(
+        params, _sum_parties_ntt(params, dec_t, v_keys, level), level)
+    out_arr = out_arr.at[0].set(ring_q.add(out_arr[0], v_sum))
+    zu = external_product(params, dec_t, u_key, level)
+    out_arr = out_arr.at[1 + sel0].set(ring_q.add(out_arr[1 + sel0], zu))
+    return Ciphertext(ids=ids, data=out_arr)
+
+
 # ----------------------------------------------------------------------------
 # Rotate / Conjugate
 # ----------------------------------------------------------------------------

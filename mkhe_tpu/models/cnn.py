@@ -141,15 +141,17 @@ def mask_vector(slots: int) -> np.ndarray:
 
 def convolution(ev: mkckks.Evaluator, rlk, rtk, ct_image, h_image,
                 ct_kernels, h_kernels):
-    """4 hoisted mult+rot combos + rotation-tree fold (cnn/cnn.go:10-40)."""
-    out = ev.mul_relin_hoisted_new(ct_image, ct_kernels[0], h_image,
-                                   h_kernels[0], rlk)
-    for rot, kidx in ((1, 1), (14, 2), (15, 3)):
-        tmp = ev.rotate_hoisted_new(ct_image, rot, h_image, rtk)
-        h_tmp = ev.hoisted_form(tmp)
-        tmp = ev.mul_relin_hoisted_new(tmp, ct_kernels[kidx], h_tmp,
-                                       h_kernels[kidx], rlk)
-        out = ev.add_new(out, tmp)
+    """4 hoisted mult+rot combos + rotation-tree fold (cnn/cnn.go:10-40).
+    TPU-native form: the three image rotations (1, 14, 15) share one
+    hoisted decomposition and run as a single batched pass, and the four
+    kernel products evaluate as ONE lazy-relin inner product
+    (mul_relin_sum_new) with a single deferred relinearization tail."""
+    rots = ev.rotate_hoisted_many_new(ct_image, [1, 14, 15], h_image, rtk)
+    pairs = [(ct_image, ct_kernels[0], h_image, h_kernels[0])]
+    for tmp, kidx in zip(rots, (1, 2, 3)):
+        pairs.append((tmp, ct_kernels[kidx], ev.hoisted_form(tmp),
+                      h_kernels[kidx]))
+    out = ev.mul_relin_sum_new(pairs, rlk)
     for rot in (2048, 1024):
         out = ev.add_new(out, ev.rotate_new(out, rot, rtk))
     return out
@@ -159,19 +161,21 @@ def fc1_layer(ev: mkckks.Evaluator, rlk, rtk, ct_vec, h_vec, ct_mat,
               h_mat, ct_bias):
     """8 diagonal blocks + log-tree over 128 + bias (cnn/cnn.go:42-71).
 
-    The reference reuses one hoisted decomposition across the 8 rotations
-    in a Go loop; here the 7 non-identity rotations additionally run as
-    ONE batched compiled pass (rotate_hoisted_many_new), bit-identical to
-    the loop."""
+    TPU-native form: the reference reuses one hoisted decomposition
+    across the 8 rotations in a Go loop; here the 7 non-identity
+    rotations run as ONE batched compiled pass (rotate_hoisted_many_new,
+    bit-identical to the loop) and the 8 diagonal products evaluate as
+    one lazy-relin inner product (mul_relin_sum_new: a single deferred
+    relinearization tail, verified per-logit vs the plaintext model)."""
     n = len(ct_mat)
     rots = ev.rotate_hoisted_many_new(
         ct_vec, [i * 128 for i in range(1, n)], h_vec, rtk)
-    out = None
+    pairs = []
     for i in range(n):
         tmp = ct_vec if i == 0 else rots[i - 1]
-        h_tmp = ev.hoisted_form(tmp)
-        tmp = ev.mul_relin_hoisted_new(tmp, ct_mat[i], h_tmp, h_mat[i], rlk)
-        out = tmp if out is None else ev.add_new(out, tmp)
+        h_tmp = h_vec if i == 0 else ev.hoisted_form(tmp)
+        pairs.append((tmp, ct_mat[i], h_tmp, h_mat[i]))
+    out = ev.mul_relin_sum_new(pairs, rlk)
     for i in range(7):  # log2(128)
         out = ev.add_new(out, ev.rotate_new(out, 1 << i, rtk))
     return ev.add_new(out, ct_bias)

@@ -338,3 +338,33 @@ def test_rotate_hoisted_many_bit_identical(params, ctx):
         np.testing.assert_array_equal(np.asarray(got.ct.data),
                                       np.asarray(ref.ct.data))
         assert got.scale == ref.scale
+
+
+def test_mul_relin_sum_lazy_inner_product(params, ctx):
+    """mul_relin_sum_new (lazy relinearization across an inner product)
+    decrypts to the same value as the staged sum of mul_relins, within
+    the rounding of its single deferred ModDown."""
+    ev = ctx["ev"]
+    pairs, want = [], 0
+    a_msgs = [_rand_msg(params, -0.5, 0.5) for _ in range(3)]
+    b_msgs = [_rand_msg(params, -0.5, 0.5) for _ in range(3)]
+    for ma, mb in zip(a_msgs, b_msgs):
+        ca = ctx["enc"].encrypt_msg(ma, ctx["pk"].get("user0"))
+        cb = ctx["enc"].encrypt_msg(mb, ctx["pk"].get("user1"))
+        h_a = ev.hoisted_form(ca)
+        pairs.append((ca, cb, h_a, None))
+        want = want + ma.value * mb.value
+    lazy = ev.mul_relin_sum_new(pairs, ctx["rlk"])
+    staged = None
+    for ca, cb, ha, _ in pairs:
+        t = ev.mul_relin_hoisted_new(ca, cb, ha, None, ctx["rlk"])
+        staged = t if staged is None else ev.add_new(staged, t)
+    out_lazy = ctx["dec"].decrypt(lazy, ctx["sk"])
+    out_staged = ctx["dec"].decrypt(staged, ctx["sk"])
+    # both match the plaintext product sum within the mult bound
+    _assert_close(params, out_lazy.value, want, 12)
+    _assert_close(params, out_staged.value, want, 12)
+    # and each other even tighter (only ModDown rounding differs)
+    delta = np.max(np.abs(out_lazy.value - out_staged.value))
+    bound = -math.log2(params.scale) + params.logslots + 6
+    assert np.log2(max(delta, 1e-300)) <= bound
