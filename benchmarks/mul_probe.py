@@ -22,13 +22,14 @@ from mkhe_tpu.mkrlwe import keyswitch as ksw
 from mkhe_tpu.ops import basis
 
 PARTIES = int(os.environ.get("PROBE_PARTIES", "4"))
+PRESET = os.environ.get("PROBE_PRESET", "PN15QP880")
 
 
 def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_mkhe"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    params = mkckks.PN15QP880()
+    params = getattr(mkckks, PRESET)()
     rp = params.rlwe
     kgen = mkrlwe.KeyGenerator(rp, seed=5)
     rlk = mkrlwe.RelinearizationKeySet()
@@ -55,7 +56,7 @@ def main():
     ring_qp = rp.ring_qp_at(level)
     lq = level + 1
 
-    print(f"probe: {PARTIES}-party logN=15, Lq={lq}, "
+    print(f"probe: {PARTIES}-party {PRESET} logN={params.logn}, Lq={lq}, "
           f"Lp={rp.pcount}, beta={rp.beta(level)}, alpha={rp.alpha}",
           flush=True)
 

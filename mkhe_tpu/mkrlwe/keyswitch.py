@@ -143,14 +143,27 @@ def _aggregate_keys(params: Parameters, digits: jax.Array, keys: jax.Array,
 def _sum_parties_ntt(params: Parameters, digits: jax.Array, swks: jax.Array,
                      level: int) -> jax.Array:
     """sum_k sum_b digits[k, b] * swk[k, b] reduced canonically over QP,
-    NTT domain. digits (..., k, beta, Lqp, N), swks broadcastable."""
+    NTT domain. digits (..., k, beta, Lqp, N), swks broadcastable.
+
+    Accumulates the whole k x beta product sum in one 64-bit chain with a
+    single Montgomery reduction (one pass, vs a reduce per party) —
+    chunked so at most 64 partial products enter one accumulator (each
+    contributes < 2^26 to the high word, mirroring the reference's
+    uint128 accumulation budget in basis_extension.go:582-646)."""
     ring_qp = params.ring_qp_at(level)
     k = digits.shape[-4]
+    beta = digits.shape[-3]
+    per_chunk = max(1, 64 // max(beta, 1))
     out = None
-    for i in range(k):
-        r = ring_qp.reduce(_reduce_qp(
-            _accum_digits(digits[..., i, :, :, :], swks[..., i, :, :, :]),
-            ring_qp))
+    for c0 in range(0, k, per_chunk):
+        c1 = min(c0 + per_chunk, k)
+        shape = jnp.broadcast_shapes(digits.shape, swks.shape)
+        acc = mm.mul_accum_init(shape[:-4] + shape[-2:])
+        for i in range(c0, c1):
+            for b_ in range(beta):
+                acc = mm.mul_accum_step(
+                    acc, digits[..., i, b_, :, :], swks[..., i, b_, :, :])
+        r = ring_qp.reduce(_reduce_qp(acc, ring_qp))
         out = r if out is None else ring_qp.add(out, r)
     return out
 

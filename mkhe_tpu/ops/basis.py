@@ -107,8 +107,14 @@ def mod_up(x, src_ring: Ring, dst_ring: Ring, tables: ModUpTables
     dq = dst_ring.q[:, None]
     r = mm.mont_reduce_wide(acc[0], acc[1], dq, dst_ring.qinv_neg[:, None])
     r = mm.barrett_reduce(r, dq, dst_ring.bar[:, None])
-    # subtract v*B mod d_j  (table lookup over v in [0, Ls])
-    corr = jnp.moveaxis(jnp.asarray(tables.vq_dst)[:, v], 0, -2)
+    # subtract v*B mod d_j. v only takes ls+1 values: a where-chain keeps
+    # this on the VPU instead of a per-coefficient dynamic gather (slow on
+    # TPU); bit-identical to the table lookup.
+    vq = jnp.asarray(tables.vq_dst)  # (Ld, Ls+1)
+    ve = v[..., None, :]             # broadcast over the dst limb axis
+    corr = jnp.zeros_like(r)
+    for vi in range(1, ls + 1):
+        corr = jnp.where(ve == vi, vq[:, vi][:, None], corr)
     return mm.sub_mod(r, corr, dq)
 
 
