@@ -18,3 +18,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is compile-dominated (logN<=10
+# graphs, but many of them on a small CPU); warm runs drop from ~20 min
+# to a few minutes on this box.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_mkhe_cpu_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

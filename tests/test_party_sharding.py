@@ -68,6 +68,10 @@ def _sum_ct(ctx, uids, sign=False):
     return ct, msg
 
 
+@pytest.mark.skipif(not __import__("os").environ.get("RUN_SLOW"),
+                    reason="square fast-path variant; the distinct/"
+                           "hoisted/union tests cover the sharded "
+                           "structure — RUN_SLOW tier (compile-heavy)")
 def test_party_sharded_mul_square(ctx):
     params = ctx["params"]
     ct, msg = _sum_ct(ctx, ctx["users"])
