@@ -67,7 +67,9 @@ def decompose_bfv(params: Parameters, x_r: jax.Array) -> jax.Array:
     ring_qp = rp.ring_qp
     digits = rns_basis.decompose_digits(x_r, params.ring_r, ring_qp,
                                         rp.alpha)
-    return ring_qp.ntt(digits, reduce_input=(rp.alpha == 1))
+    # digits are lazy residues (alpha==1 broadcasts / alpha>=2 lazy
+    # mod_up); the Pallas forward path absorbs them for free.
+    return ring_qp.ntt(digits, reduce_input=True)
 
 
 def mul_and_relin_bfv(params: Parameters, ct0r: Ciphertext,

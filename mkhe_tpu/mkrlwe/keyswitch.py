@@ -43,8 +43,11 @@ def decompose(params: Parameters, x: jax.Array, level: int) -> jax.Array:
     ring_q = params.ring_q_at(level)
     ring_qp = params.ring_qp_at(level)
     digits = basis.decompose_digits(x, ring_q, ring_qp, params.alpha)
-    # alpha==1 digits are raw-residue broadcasts (lazy vs target modulus)
-    return ring_qp.ntt(digits, reduce_input=(params.alpha == 1))
+    # digits are lazy vs the target modulus (alpha==1: raw-residue
+    # broadcasts; alpha>=2: < 4q from the lazy mod_up). reduce_input=True
+    # is free on the Pallas forward path (the sloppy twist absorbs any
+    # u32) and Barrett-reduces on the exact jnp path.
+    return ring_qp.ntt(digits, reduce_input=True)
 
 
 def slice_swk(params: Parameters, swk: jax.Array, level: int) -> jax.Array:
@@ -97,13 +100,15 @@ def _reduce_qp(acc, ring_qp: Ring) -> jax.Array:
 
 
 def external_product_ntt(params: Parameters, digits: jax.Array,
-                         swk: jax.Array, level: int) -> jax.Array:
-    """Inner product sum_b digits_b * swk_b, still NTT domain over QP,
-    canonically reduced. digits (..., beta, Lqp, N) plain NTT values;
-    swk Montgomery NTT."""
+                         swk: jax.Array, level: int,
+                         lazy: bool = False) -> jax.Array:
+    """Inner product sum_b digits_b * swk_b, still NTT domain over QP.
+    digits (..., beta, Lqp, N) plain NTT values; swk Montgomery NTT.
+    Canonically reduced, or — lazy=True — in [0, 2q) (same value mod q;
+    for consumers like mod_down_qp whose iNTT absorbs lazy inputs)."""
     ring_qp = params.ring_qp_at(level)
     r = _reduce_qp(_accum_digits(digits, swk), ring_qp)
-    return ring_qp.reduce(r)
+    return r if lazy else ring_qp.reduce(r)
 
 
 def mod_down_qp(params: Parameters, c_qp: jax.Array, level: int) -> jax.Array:
@@ -121,7 +126,9 @@ def external_product(params: Parameters, digits: jax.Array, swk: jax.Array,
     """Full external product: digits (NTT) x swk -> coeff-domain (..., Lq, N).
     Reference: KeySwitcher.ExternalProduct / ExternalProductHoisted."""
     return mod_down_qp(
-        params, external_product_ntt(params, digits, swk, level), level)
+        params,
+        external_product_ntt(params, digits, swk, level, lazy=True),
+        level)
 
 
 def _aggregate_keys(params: Parameters, digits: jax.Array, keys: jax.Array,
@@ -129,21 +136,25 @@ def _aggregate_keys(params: Parameters, digits: jax.Array, keys: jax.Array,
     """x_b = sum_k digits[k, b] * keys[k, b]: collapse the party axis but
     keep the digit axis (the x/y switching-key aggregation of MulAndRelin,
     keyswitch.go:156-180). digits (k, beta, Lqp, N) -> (beta, Lqp, N),
-    canonical."""
+    lazy in [0, 2q) — callers wrap in to_mont, which absorbs it."""
     ring_qp = params.ring_qp_at(level)
     k = digits.shape[0]
     acc = mm.mul_accum_init(digits.shape[1:])
     for i in range(k):
         acc = mm.mul_accum_step(acc, digits[i], keys[i])
     q = ring_qp.q[:, None]
-    r = mm.mont_reduce_wide(acc[0], acc[1], q, ring_qp.qinv_neg[:, None])
-    return ring_qp.reduce(r)
+    # lazy (< 2q) output: every caller feeds this into to_mont, whose
+    # Montgomery multiply accepts any u32 first operand exactly.
+    return mm.mont_reduce_wide(acc[0], acc[1], q,
+                               ring_qp.qinv_neg[:, None])
 
 
 def _sum_parties_ntt(params: Parameters, digits: jax.Array, swks: jax.Array,
-                     level: int) -> jax.Array:
-    """sum_k sum_b digits[k, b] * swk[k, b] reduced canonically over QP,
-    NTT domain. digits (..., k, beta, Lqp, N), swks broadcastable.
+                     level: int, lazy: bool = False) -> jax.Array:
+    """sum_k sum_b digits[k, b] * swk[k, b] reduced over QP, NTT domain;
+    canonical, or lazy in [0, 2q) when lazy=True and one accumulation
+    chunk suffices (consumers like mod_down_qp absorb lazy values).
+    digits (..., k, beta, Lqp, N), swks broadcastable.
 
     Accumulates the whole k x beta product sum in one 64-bit chain with a
     single Montgomery reduction (one pass, vs a reduce per party) —
@@ -163,7 +174,10 @@ def _sum_parties_ntt(params: Parameters, digits: jax.Array, swks: jax.Array,
             for b_ in range(beta):
                 acc = mm.mul_accum_step(
                     acc, digits[..., i, b_, :, :], swks[..., i, b_, :, :])
-        r = ring_qp.reduce(_reduce_qp(acc, ring_qp))
+        r = _reduce_qp(acc, ring_qp)                    # < 2q
+        if lazy and k <= per_chunk:
+            return r
+        r = ring_qp.reduce(r)
         out = r if out is None else ring_qp.add(out, r)
     return out
 
@@ -256,7 +270,7 @@ def mul_and_relin(params: Parameters, ct0: Ciphertext, ct1: Ciphertext,
     t = external_product(params, dec0, y, level)   # (k0, Lq, N)
     dec_t = decompose(params, t, level)            # (k0, beta, Lqp, N)
     v_sum = mod_down_qp(
-        params, _sum_parties_ntt(params, dec_t, v_keys, level), level)
+        params, _sum_parties_ntt(params, dec_t, v_keys, level, lazy=True), level)
     out_arr = out_arr.at[0].set(ring_q.add(out_arr[0], v_sum))
     zu = external_product(params, dec_t, u_key, level)
     out_arr = out_arr.at[1 + sel0].set(
@@ -351,7 +365,7 @@ def mul_and_relin_sum(params: Parameters, pairs, rlk_stacked, level: int,
     t = mod_down_qp(params, t_qp, level)           # (k0, Lq, N)
     dec_t = decompose(params, t, level)
     v_sum = mod_down_qp(
-        params, _sum_parties_ntt(params, dec_t, v_keys, level), level)
+        params, _sum_parties_ntt(params, dec_t, v_keys, level, lazy=True), level)
     out_arr = out_arr.at[0].set(ring_q.add(out_arr[0], v_sum))
     zu = external_product(params, dec_t, u_key, level)
     out_arr = out_arr.at[1 + sel0].set(ring_q.add(out_arr[1 + sel0], zu))
@@ -375,7 +389,7 @@ def rotate_with(params: Parameters, ct: Ciphertext, rtk_stacked: jax.Array,
     rks = slice_swk(params, rtk_stacked, level)
 
     c0 = ring_q.add(ct.data[0], mod_down_qp(
-        params, _sum_parties_ntt(params, dec, rks, level), level))
+        params, _sum_parties_ntt(params, dec, rks, level, lazy=True), level))
     ci = external_product(params, dec, a_crs, level)
     out = jnp.concatenate([c0[None], ci], axis=0)
 
@@ -432,7 +446,8 @@ def rotate_hoisted_batched(params: Parameters, ct: Ciphertext,
     src = jnp.stack([rotation_tables(params, idx)[0] for idx in rot_idxs])
     sign = jnp.stack([rotation_tables(params, idx)[1] for idx in rot_idxs])
 
-    s = _sum_parties_ntt(params, dec[None], rks, level)   # (R, Lqp, N)
+    s = _sum_parties_ntt(params, dec[None], rks, level,
+                         lazy=True)                       # (R, Lqp, N)
     c0 = ring_q.add(ct.data[0][None],
                     mod_down_qp(params, s, level))        # (R, Lq, N)
     ci = external_product(params, dec[None], a_multi[:, None], level)
@@ -452,7 +467,7 @@ def conjugate(params: Parameters, ct: Ciphertext,
     cks = slice_swk(params, cjk_stacked, level)
     a = params.crs_at(-2, level)
     c0 = ring_q.add(permuted[0], mod_down_qp(
-        params, _sum_parties_ntt(params, dec, cks, level), level))
+        params, _sum_parties_ntt(params, dec, cks, level, lazy=True), level))
     ci = external_product(params, dec, a, level)
     return Ciphertext(ids=ct.ids,
                       data=jnp.concatenate([c0[None], ci], axis=0))

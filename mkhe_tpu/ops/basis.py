@@ -81,12 +81,16 @@ def mod_up_tables(src: Tuple[int, ...], dst: Tuple[int, ...]) -> ModUpTables:
         inv_b_f32=(1.0 / np.array(src, np.float64)).astype(np.float32))
 
 
-def mod_up(x, src_ring: Ring, dst_ring: Ring, tables: ModUpTables
-           ) -> jax.Array:
+def mod_up(x, src_ring: Ring, dst_ring: Ring, tables: ModUpTables,
+           lazy: bool = False) -> jax.Array:
     """Convert (..., Ls, N) in basis src to (..., Ld, N) in basis dst.
 
-    Output is canonical in [0, d_j). The lifted integer equals the input
-    representative in [0, B) up to a rare +-B (see module docstring).
+    Output is canonical in [0, d_j), or — with lazy=True — in [0, 4 d_j)
+    (skips the canonicalizing Barrett; same value mod d_j). Lazy is the
+    fast path for consumers that absorb lazy inputs exactly: the forward
+    NTT twist and mont_mul both accept any u32, so the Barrett pass would
+    be pure waste. The lifted integer equals the input representative in
+    [0, B) up to a rare +-B (see module docstring).
     """
     ls = len(tables.src_moduli)
     sq = src_ring.q[:, None]
@@ -106,15 +110,18 @@ def mod_up(x, src_ring: Ring, dst_ring: Ring, tables: ModUpTables
                                 tables.qhat_dst_mont[i][:, None])
     dq = dst_ring.q[:, None]
     r = mm.mont_reduce_wide(acc[0], acc[1], dq, dst_ring.qinv_neg[:, None])
-    r = mm.barrett_reduce(r, dq, dst_ring.bar[:, None])
-    # subtract v*B mod d_j. v only takes ls+1 values: a where-chain keeps
-    # this on the VPU instead of a per-coefficient dynamic gather (slow on
-    # TPU); bit-identical to the table lookup.
+    # r < 2q here (accumulator head-room). Subtract v*B mod d_j; v only
+    # takes ls+1 values: a where-chain keeps this on the VPU instead of a
+    # per-coefficient dynamic gather (slow on TPU); bit-identical to the
+    # table lookup.
     vq = jnp.asarray(tables.vq_dst)  # (Ld, Ls+1)
     ve = v[..., None, :]             # broadcast over the dst limb axis
     corr = jnp.zeros_like(r)
     for vi in range(1, ls + 1):
         corr = jnp.where(ve == vi, vq[:, vi][:, None], corr)
+    if lazy:
+        return r + (dq * jnp.uint32(2) - corr)       # < 4q
+    r = mm.barrett_reduce(r, dq, dst_ring.bar[:, None])
     return mm.sub_mod(r, corr, dq)
 
 
@@ -150,8 +157,12 @@ def mod_down(xq, xp, ring_q: Ring, ring_p: Ring) -> jax.Array:
     """
     t_up = mod_up_tables(ring_p.moduli, ring_q.moduli)
     t_dn = mod_down_tables(ring_q.moduli, ring_p.moduli)
-    conv = mod_up(xp, ring_p, ring_q, t_up)
-    diff = ring_q.sub(xq, conv)
+    conv = mod_up(xp, ring_p, ring_q, t_up, lazy=True)     # < 4q
+    # lazy difference: xq + (4q - conv) === xq - conv (mod q), < 5q; the
+    # Montgomery multiply below accepts any u32 first operand, so no
+    # canonicalization pass is needed. Output identical to the canonical
+    # chain (exact mod q, canonicalized by mont_mul).
+    diff = xq + (ring_q.q[:, None] * jnp.uint32(4) - conv)
     return ring_q.mul_scalar_mont(diff, t_dn.pinv_mont)
 
 
@@ -184,7 +195,9 @@ def decompose_digits(x, ring_q: Ring, ring_qp: Ring, alpha: int
         lo, hi = d * alpha, min((d + 1) * alpha, lq)
         src = ring_q.take(lo, hi)
         t = mod_up_tables(ring_q.moduli[lo:hi], ring_qp.moduli)
-        outs.append(mod_up(x[..., lo:hi, :], src, ring_qp, t))
+        # lazy (< 4q) digits: the caller NTTs them with reduce_input=True,
+        # which the Pallas forward path absorbs for free (sloppy twist).
+        outs.append(mod_up(x[..., lo:hi, :], src, ring_qp, t, lazy=True))
     return jnp.stack(outs, axis=-3)
 
 

@@ -158,6 +158,30 @@ def shoup_mul(a, w, w_shoup, q):
     return csub(shoup_mul_lazy(a, w, w_shoup, q), q)
 
 
+def shoup_split(w_shoup):
+    """16-bit halves of a Shoup constant table (for shoup_mul_sloppy)."""
+    return w_shoup & MASK16, w_shoup >> 16
+
+
+def shoup_mul_sloppy(a, w, w_sh0, w_sh1, q):
+    """a * w mod q in [0, 4q), for any a < 2^32 and constant w < q.
+
+    Like shoup_mul_lazy but the quotient estimate drops the low-word
+    carry chain of the exact 32-bit mulhi:
+        t' = a1*w1 + (a1*w0 >> 16) + (a0*w1 >> 16)
+    underestimates the exact floor(a * w_sh / 2^32) by at most 2 (the
+    dropped fractional parts sum to < 3 * 2^16), so the remainder picks
+    up at most 2q: r = a*w - t'*q in [0, 2q + 2q). With q < 2^29 the
+    result fits uint32 exactly; values are exact mod q, so lazy chains
+    built on it stay bit-identical after a final reduction. Saves ~7 VPU
+    ops per multiply vs the exact mulhi — the NTT butterfly hot path.
+    """
+    a0 = a & MASK16
+    a1 = a >> 16
+    t = a1 * w_sh1 + ((a1 * w_sh0) >> 16) + ((a0 * w_sh1) >> 16)
+    return a * w - t * q  # mod 2^32; true value < 4q < 2^31
+
+
 def barrett_reduce(a, q, b_const):
     """Reduce any a < 2^32 to [0, q): a - floor(a * b_const / 2^32) * q
     with b_const = floor(2^32/q), then up to two conditional subtracts."""

@@ -33,12 +33,32 @@ U32 = jnp.uint32
 LIMB_TILE = 8
 
 
+SLICE_H = 128  # stages with half-block h >= SLICE_H use the sliced
+#                formulation: butterflies pair two CONTIGUOUS aligned lane
+#                slices (top/bottom halves of each 2h-block), so the
+#                twiddle multiply runs on only n/2 lanes per stage and the
+#                rolls / lane-masks / selects of the interleaved
+#                formulation disappear entirely. Stages with h < 128 pair
+#                lanes within one native 128-lane tile and keep the
+#                roll+select form. Both forms are exact mod q, so outputs
+#                remain bit-identical to the jnp path.
+
+
 def _fwd_kernel(n, logn, x_ref, wpack_ref, wpack_sh_ref, twist_ref,
                 twist_sh_ref, q_ref, bar_ref, out_ref, *, reduce_input,
                 head_only=False):
     """Harvey-style lazy butterflies: values stay in [0, 2q) between
     stages (q < 2^29 so all intermediates fit uint32); one final csub
     restores canonical form — bit-identical to the jnp path.
+
+    Big-h stages (h >= SLICE_H) run sliced: each 2h-block splits into a
+    top slice T and bottom slice B with
+        T' = csub(T + B, 2q);  B' = shoup((T - B), w_s[l]),
+    where the twiddle pattern index for lane l of B is just l (blocks are
+    2h-aligned), so ONE static h-wide slice of the packed table serves
+    every block. The recursion halves slice widths stage by stage, so no
+    roll, iota, or select is emitted and the multiply covers half the
+    lanes.
 
     head_only: run only the stages with half-block h >= 128 and emit the
     LAZY (< 2q) values — the remaining 7 stages are one fixed 128x128
@@ -47,31 +67,60 @@ def _fwd_kernel(n, logn, x_ref, wpack_ref, wpack_sh_ref, twist_ref,
     still bit-identical to the jnp path."""
     a = x_ref[0]
     q = q_ref[:]
-    q2 = q * jnp.uint32(2)
-    if reduce_input:
-        a = mm.barrett_reduce(a, q, bar_ref[:])
-    # twist: a[j] *= psi^j  (lazy, < 2q)
-    a = mm.shoup_mul_lazy(a, twist_ref[:], twist_sh_ref[:], q)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (LIMB_TILE, n), 1)
+    q4 = q * jnp.uint32(4)
+    del reduce_input  # the sloppy twist below absorbs ANY u32 input (the
+    # Shoup bound holds for arbitrary a), so no Barrett pass is needed for
+    # lazy inputs — the result is exact mod q either way, hence still
+    # bit-identical to the jnp path (which does Barrett-reduce first).
+    # twist: a[j] *= psi^j  (sloppy-lazy, < 4q)
+    a = mm.shoup_mul_sloppy(a, twist_ref[:],
+                            *mm.shoup_split(twist_sh_ref[:]), q)
     off = 0
-    last_stage = (logn - 7) if head_only else logn
-    for s in range(1, last_stage + 1):
-        h = n >> s
+    h = n >> 1
+    if h >= SLICE_H:
+        chunks = [a[:, c:c + SLICE_H] for c in range(0, n, SLICE_H)]
+        while h >= SLICE_H:
+            h128 = h // SLICE_H
+            tws = [(wpack_ref[:, off + j * SLICE_H:
+                              off + (j + 1) * SLICE_H],
+                    *mm.shoup_split(
+                        wpack_sh_ref[:, off + j * SLICE_H:
+                                     off + (j + 1) * SLICE_H]))
+                   for j in range(h128)]
+            for blk in range(n // (2 * h)):
+                base = blk * 2 * h128
+                for j in range(h128):
+                    t = chunks[base + j]
+                    b = chunks[base + h128 + j]
+                    tw, sh0, sh1 = tws[j]
+                    chunks[base + j] = mm.csub(t + b, q4)        # < 4q
+                    chunks[base + h128 + j] = mm.shoup_mul_sloppy(
+                        t + (q4 - b), tw, sh0, sh1, q)           # < 4q
+            off += h
+            h >>= 1
+        a = jnp.concatenate(chunks, axis=1)
+    if head_only:
+        out_ref[0] = a
+        return
+    lane = jax.lax.broadcasted_iota(jnp.int32, (LIMB_TILE, n), 1)
+    while h >= 1:
         p = pltpu.roll(a, n - h, 1)   # p[j] = a[j+h]
         mn = pltpu.roll(a, h, 1)      # mn[j] = a[j-h]
         first = (lane & h) == 0
-        top = mm.csub(a + p, q2)                  # < 2q
-        diff = mn + (q2 - a)                      # < 4q
+        top = mm.csub(a + p, q4)                  # < 4q
+        diff = mn + (q4 - a)                      # < 8q < 2^32
         if h == 1:
-            bot = mm.csub(diff, q2)               # last stage twiddle = 1
+            bot = mm.csub(diff, q4)               # last stage twiddle = 1
         else:
+            sh0, sh1 = mm.shoup_split(wpack_sh_ref[:, off:off + h])
             tw = pltpu.repeat(wpack_ref[:, off:off + h], n // h, axis=1)
-            tw_sh = pltpu.repeat(wpack_sh_ref[:, off:off + h],
-                                 n // h, axis=1)
-            bot = mm.shoup_mul_lazy(diff, tw, tw_sh, q)  # < 2q
+            tw0 = pltpu.repeat(sh0, n // h, axis=1)
+            tw1 = pltpu.repeat(sh1, n // h, axis=1)
+            bot = mm.shoup_mul_sloppy(diff, tw, tw0, tw1, q)  # < 4q
         a = jnp.where(first, top, bot)
         off += h
-    out_ref[0] = a if head_only else mm.csub(a, q)
+        h >>= 1
+    out_ref[0] = mm.csub(mm.csub(a, q * jnp.uint32(2)), q)
 
 
 def _inv_kernel(n, logn, x_ref, iwpack_ref, iwpack_sh_ref, untwist_ref,
@@ -84,10 +133,9 @@ def _inv_kernel(n, logn, x_ref, iwpack_ref, iwpack_sh_ref, untwist_ref,
     start at h = 128 (input canonical from the tail's exact reduction)."""
     a = x_ref[0]
     q = q_ref[:]
-    q2 = q * jnp.uint32(2)
+    q4 = q * jnp.uint32(4)
     if reduce_input and not tail_done:
         a = mm.barrett_reduce(a, q, bar_ref[:])
-    lane = jax.lax.broadcasted_iota(jnp.int32, (LIMB_TILE, n), 1)
     # DIT stages: h = 1, 2, ..., n/2; stage s has packed offset matching
     # the fwd stage with the same h.
     offs = {}
@@ -96,25 +144,57 @@ def _inv_kernel(n, logn, x_ref, iwpack_ref, iwpack_sh_ref, untwist_ref,
         offs[n >> s] = off
         off += n >> s
     h = 128 if tail_done else 1
-    while h < n:
-        p = pltpu.roll(a, n - h, 1)
-        mn = pltpu.roll(a, h, 1)
-        first = (lane & h) == 0
-        operand = jnp.where(first, p, a)
-        if h == 1:
-            v = operand                           # twiddle = 1, < 2q
-        else:
+    if not tail_done:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (LIMB_TILE, n), 1)
+        while h < min(n, SLICE_H):
+            p = pltpu.roll(a, n - h, 1)
+            mn = pltpu.roll(a, h, 1)
+            first = (lane & h) == 0
+            operand = jnp.where(first, p, a)
+            if h == 1:
+                v = operand                       # twiddle = 1, < 4q
+            else:
+                o = offs[h]
+                sh0, sh1 = mm.shoup_split(iwpack_sh_ref[:, o:o + h])
+                tw = pltpu.repeat(iwpack_ref[:, o:o + h], n // h, axis=1)
+                tw0 = pltpu.repeat(sh0, n // h, axis=1)
+                tw1 = pltpu.repeat(sh1, n // h, axis=1)
+                v = mm.shoup_mul_sloppy(operand, tw, tw0, tw1, q)  # < 4q
+            top = mm.csub(a + v, q4)              # < 4q
+            bot = mm.csub(mn + (q4 - v), q4)      # < 4q
+            a = jnp.where(first, top, bot)
+            h *= 2
+    # big-h sliced stages (see _fwd_kernel / SLICE_H): maintain the state
+    # as 128-lane chunks; at stage h the 2h-block pairs chunk j with chunk
+    # j + h/128, and the twiddle for pair j is the static 128-lane slice
+    # iwpack[off + 128 j : off + 128 (j+1)] — identical for every block.
+    if h < n:
+        chunks = [a[:, c:c + SLICE_H] for c in range(0, n, SLICE_H)]
+        while h < n:
             o = offs[h]
-            tw = pltpu.repeat(iwpack_ref[:, o:o + h], n // h, axis=1)
-            tw_sh = pltpu.repeat(iwpack_sh_ref[:, o:o + h], n // h, axis=1)
-            v = mm.shoup_mul_lazy(operand, tw, tw_sh, q)  # < 2q
-        top = mm.csub(a + v, q2)                  # < 2q
-        bot = mm.csub(mn + (q2 - v), q2)          # < 2q
-        a = jnp.where(first, top, bot)
-        h *= 2
+            h128 = h // SLICE_H
+            tws = [(iwpack_ref[:, o + j * SLICE_H:
+                               o + (j + 1) * SLICE_H],
+                    *mm.shoup_split(
+                        iwpack_sh_ref[:, o + j * SLICE_H:
+                                      o + (j + 1) * SLICE_H]))
+                   for j in range(h128)]
+            for blk in range(n // (2 * h)):
+                base = blk * 2 * h128
+                for j in range(h128):
+                    t = chunks[base + j]
+                    b = chunks[base + h128 + j]
+                    tw, sh0, sh1 = tws[j]
+                    v = mm.shoup_mul_sloppy(b, tw, sh0, sh1, q)  # < 4q
+                    chunks[base + j] = mm.csub(t + v, q4)      # < 4q
+                    chunks[base + h128 + j] = mm.csub(
+                        t + (q4 - v), q4)                      # < 4q
+            h *= 2
+        a = jnp.concatenate(chunks, axis=1)
     # untwist by psi^{-j}/N, restore canonical form
-    out_ref[0] = mm.csub(
-        mm.shoup_mul_lazy(a, untwist_ref[:], untwist_sh_ref[:], q), q)
+    x = mm.shoup_mul_sloppy(a, untwist_ref[:],
+                            *mm.shoup_split(untwist_sh_ref[:]), q)
+    out_ref[0] = mm.csub(mm.csub(x, q * jnp.uint32(2)), q)
 
 
 @functools.partial(jax.jit, static_argnames=("logn", "inverse",
@@ -236,9 +316,12 @@ def ntt_batched(ring, a, inverse: bool = False, reduce_input: bool = False):
                         q, bar, ring.logn, True, reduce_input,
                         mxu_tail=mxu_tail)
     else:
+        # reduce_input is a no-op on the forward path (the sloppy twist
+        # absorbs lazy inputs); pin it False so both variants share one
+        # compiled kernel.
         out = _ntt_call(x, padded(ring.wpack), padded(ring.wpack_sh),
                         padded(ring.twist), padded(ring.twist_sh),
-                        q, bar, ring.logn, False, reduce_input,
+                        q, bar, ring.logn, False, False,
                         mxu_tail=mxu_tail)
         if mxu_tail:
             out = _tail_apply(out, padded(ring.tail_fwd),

@@ -73,9 +73,14 @@ def test_decompose_gadget_identity():
     Q = int(np.prod(np.array(ring_q.moduli, dtype=object)))
     vals = [int(v) for v in rng.integers(0, 1 << 60, size=n, dtype=np.uint64)]
     xq = crt.to_rns(vals, ring_q.moduli)
+    qp_mods = np.array(ring_qp.moduli, np.uint64)
     for alpha in (1, 2):
+        # digits are lazy residues (< 4q); reduce to canonical for the
+        # integer model below (the congruence mod q_j is the contract)
         digits = np.asarray(basis.decompose_digits(
             jnp.asarray(xq), ring_q, ring_qp, alpha))
+        digits = (digits.astype(np.uint64)
+                  % qp_mods[None, :, None]).astype(np.uint32)
         lq = len(ring_q.moduli)
         beta = -(-lq // alpha)
         recon = np.zeros(n, dtype=object)
@@ -105,6 +110,9 @@ def test_decompose_digits_consistent_across_limbs():
     xq = crt.to_rns(vals, ring_q.moduli)
     digits = np.asarray(basis.decompose_digits(
         jnp.asarray(xq), ring_q, ring_qp, 2))
+    digits = (digits.astype(np.uint64)
+              % np.array(ring_qp.moduli, np.uint64)[None, :, None]
+              ).astype(np.uint32)
     for d in range(digits.shape[0]):
         lo = d * 2
         Bd = ring_q.moduli[lo] * ring_q.moduli[lo + 1]
