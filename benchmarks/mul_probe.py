@@ -74,36 +74,41 @@ def main():
     dec0, x, xqp = jax.block_until_ready(setup(data))
     print("setup done", flush=True)
 
-    def probe(name, step, arg, k2=32):
-        def body(i, cur):
-            r = step(cur)
-            return cur ^ r.ravel()[0].astype(cur.dtype)
-        run = jax.jit(
-            lambda a, kk: jax.lax.fori_loop(0, kk, body, a).ravel()[0])
-        ms = min(slope_time_ms(lambda k: run(arg, k), 2, k2)
+    def probe(name, step, arg, k2=32, consts=()):
+        # pass key material as jit ARGUMENTS, not closure constants —
+        # embedded constants blow past the relay's compile-request size
+        # limit (HTTP 413) at PN15QP880 key shapes.
+        def run_fn(a, kk, *cs):
+            def body(i, cur):
+                r = step(cur, *cs)
+                return cur ^ r.ravel()[0].astype(cur.dtype)
+            return jax.lax.fori_loop(0, kk, body, a).ravel()[0]
+        run = jax.jit(run_fn)
+        ms = min(slope_time_ms(lambda k: run(arg, k, *consts), 2, k2)
                  for _ in range(3))
         print(f"{name:44s} {ms:8.3f} ms", flush=True)
         return ms
 
     from mkhe_tpu.mkrlwe.elements import Ciphertext
 
-    def full(cur):
+    def full(cur, b_, d_, v_):
         c = Ciphertext(ids=ids, data=cur)
-        out = ksw.mul_and_relin(rp, c, c, (b, d, v), level, square=True)
+        out = ksw.mul_and_relin(rp, c, c, (b_, d_, v_), level, square=True)
         return basis.div_round_by_last_moduli(out.data, ring_q, 2)
 
-    probe("FULL mul_and_relin + rescale", full, data, k2=16)
+    probe("FULL mul_and_relin + rescale", full, data, k2=16,
+          consts=(b, d, v))
 
     probe("decompose (k parties, beta digits, NTT)",
           lambda cur: ksw.decompose(rp, cur, level), data[1:, :lq], k2=16)
     probe("aggregate_keys (x or y)",
-          lambda cur: ksw._aggregate_keys(rp, cur, d_keys, level),
-          dec0, k2=32)
+          lambda cur, dk: ksw._aggregate_keys(rp, cur, dk, level),
+          dec0, k2=32, consts=(d_keys,))
     probe("to_mont (Lqp)",
           lambda cur: ring_qp.to_mont(cur), x, k2=64)
     probe("external_product_ntt (k-batched)",
-          lambda cur: ksw.external_product_ntt(rp, cur, x, level),
-          dec0, k2=32)
+          lambda cur, xx: ksw.external_product_ntt(rp, cur, xx, level),
+          dec0, k2=32, consts=(x,))
     probe("mod_down_qp (k-batched intt + basis)",
           lambda cur: ksw.mod_down_qp(rp, cur, level),
           jnp.broadcast_to(xqp, (PARTIES, *xqp.shape)), k2=32)
