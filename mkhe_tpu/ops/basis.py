@@ -39,7 +39,8 @@ U32 = jnp.uint32
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["qhat_inv_mont", "qhat_dst_mont", "vq_dst", "inv_b_f32"],
+    data_fields=["qhat_inv_mont", "qhat_dst_mont", "qhat_dst",
+                 "qhat_dst_sh", "vq_dst", "inv_b_f32"],
     meta_fields=["src_moduli", "dst_moduli"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -49,6 +50,8 @@ class ModUpTables:
     dst_moduli: Tuple[int, ...]
     qhat_inv_mont: jax.Array   # (Ls,)  (B/b_i)^{-1} mod b_i, Montgomery
     qhat_dst_mont: jax.Array   # (Ls, Ld)  B/b_i mod d_j, Montgomery
+    qhat_dst: jax.Array        # (Ls, Ld)  B/b_i mod d_j, plain
+    qhat_dst_sh: jax.Array     # (Ls, Ld)  Shoup companions of qhat_dst
     vq_dst: jax.Array          # (Ld, Ls+1)  v*B mod d_j for v = 0..Ls
     inv_b_f32: jax.Array       # (Ls,) float32 1/b_i
 
@@ -61,11 +64,15 @@ def mod_up_tables(src: Tuple[int, ...], dst: Tuple[int, ...]) -> ModUpTables:
     ls, ld = len(src), len(dst)
     qhat_inv = np.empty(ls, np.uint32)
     qhat_dst = np.empty((ls, ld), np.uint32)
+    qhat_plain = np.empty((ls, ld), np.uint32)
+    qhat_sh = np.empty((ls, ld), np.uint32)
     for i, bi in enumerate(src):
         bhat = B // bi
         qhat_inv[i] = mm.to_mont_host(pow(bhat % bi, -1, bi), bi)
         for j, dj in enumerate(dst):
             qhat_dst[i, j] = mm.to_mont_host(bhat % dj, dj)
+            qhat_plain[i, j] = bhat % dj
+            qhat_sh[i, j] = mm.shoup_host(bhat % dj, dj)
     vq = np.empty((ld, ls + 1), np.uint32)
     for j, dj in enumerate(dst):
         for v in range(ls + 1):
@@ -77,6 +84,8 @@ def mod_up_tables(src: Tuple[int, ...], dst: Tuple[int, ...]) -> ModUpTables:
         src_moduli=src, dst_moduli=dst,
         qhat_inv_mont=qhat_inv,
         qhat_dst_mont=qhat_dst,
+        qhat_dst=qhat_plain,
+        qhat_dst_sh=qhat_sh,
         vq_dst=vq,
         inv_b_f32=(1.0 / np.array(src, np.float64)).astype(np.float32))
 
@@ -102,25 +111,45 @@ def mod_up(x, src_ring: Ring, dst_ring: Ring, tables: ModUpTables,
                  axis=-2)
     v = jnp.floor(vf).astype(jnp.int32)
     v = jnp.clip(v, 0, ls)
-    # acc_j = sum_i y_i * (B/b_i mod d_j)  in 64-bit, Montgomery-reduced
-    out_shape = (*y.shape[:-2], len(tables.dst_moduli), y.shape[-1])
-    acc = mm.mul_accum_init(out_shape)
-    for i in range(ls):
-        acc = mm.mul_accum_step(acc, y[..., i:i + 1, :],
-                                tables.qhat_dst_mont[i][:, None])
     dq = dst_ring.q[:, None]
-    r = mm.mont_reduce_wide(acc[0], acc[1], dq, dst_ring.qinv_neg[:, None])
-    # r < 2q here (accumulator head-room). Subtract v*B mod d_j; v only
-    # takes ls+1 values: a where-chain keeps this on the VPU instead of a
-    # per-coefficient dynamic gather (slow on TPU); bit-identical to the
-    # table lookup.
+    q4 = dq * jnp.uint32(4)
+    if ls == 2:
+        # Shoup fast path (the alpha=2 decompose hot path, and the Lp=2
+        # ModDown extension): the two per-(i, j) constants ride as
+        # plain+Shoup tables, so each output is two sloppy Shoup
+        # multiplies (< 4q each, sum < 8q < 2^32) and one csub back to
+        # < 4q — instead of the 64-bit accumulate + Montgomery reduce.
+        # Exact mod q either way.
+        c0 = tables.qhat_dst[0][:, None]
+        c0s = tables.qhat_dst_sh[0][:, None]
+        c1 = tables.qhat_dst[1][:, None]
+        c1s = tables.qhat_dst_sh[1][:, None]
+        r = mm.csub(
+            mm.shoup_mul_sloppy(y[..., 0:1, :], c0, c0s & mm.MASK16,
+                                c0s >> 16, dq)
+            + mm.shoup_mul_sloppy(y[..., 1:2, :], c1, c1s & mm.MASK16,
+                                  c1s >> 16, dq), q4)             # < 4q
+    else:
+        # acc_j = sum_i y_i * (B/b_i mod d_j), 64-bit, Montgomery-reduced
+        out_shape = (*y.shape[:-2], len(tables.dst_moduli), y.shape[-1])
+        acc = mm.mul_accum_init(out_shape)
+        for i in range(ls):
+            acc = mm.mul_accum_step(acc, y[..., i:i + 1, :],
+                                    tables.qhat_dst_mont[i][:, None])
+        r = mm.mont_reduce_wide(acc[0], acc[1], dq,
+                                dst_ring.qinv_neg[:, None])       # < 2q
+    # r < 4q. Subtract v*B mod d_j; v only takes ls+1 values: a
+    # where-chain keeps this on the VPU instead of a per-coefficient
+    # dynamic gather (slow on TPU); bit-identical to the table lookup.
     vq = jnp.asarray(tables.vq_dst)  # (Ld, Ls+1)
     ve = v[..., None, :]             # broadcast over the dst limb axis
     corr = jnp.zeros_like(r)
     for vi in range(1, ls + 1):
         corr = jnp.where(ve == vi, vq[:, vi][:, None], corr)
     if lazy:
-        return r + (dq * jnp.uint32(2) - corr)       # < 4q
+        # r + (2q - corr) < 6q; one csub restores the documented < 4q
+        # contract (mod_down's lazy difference depends on it).
+        return mm.csub(r + (dq * jnp.uint32(2) - corr), q4)       # < 4q
     r = mm.barrett_reduce(r, dq, dst_ring.bar[:, None])
     return mm.sub_mod(r, corr, dq)
 
