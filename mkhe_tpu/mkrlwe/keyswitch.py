@@ -104,8 +104,10 @@ def external_product_ntt(params: Parameters, digits: jax.Array,
                          lazy: bool = False) -> jax.Array:
     """Inner product sum_b digits_b * swk_b, still NTT domain over QP.
     digits (..., beta, Lqp, N) plain NTT values; swk Montgomery NTT.
-    Canonically reduced, or — lazy=True — in [0, 2q) (same value mod q;
-    for consumers like mod_down_qp whose iNTT absorbs lazy inputs)."""
+    Canonically reduced, or — lazy=True — LAZY: bounded by
+    q + beta*q/2 for < 4q digits (fits u32; exact mod q). Lazy consumers
+    (mod_down_qp's iNTT with reduce_input, mont_mul) accept any u32;
+    do NOT add two lazy results assuming 2q headroom."""
     ring_qp = params.ring_qp_at(level)
     r = _reduce_qp(_accum_digits(digits, swk), ring_qp)
     return r if lazy else ring_qp.reduce(r)
@@ -135,8 +137,13 @@ def _aggregate_keys(params: Parameters, digits: jax.Array, keys: jax.Array,
                     level: int) -> jax.Array:
     """x_b = sum_k digits[k, b] * keys[k, b]: collapse the party axis but
     keep the digit axis (the x/y switching-key aggregation of MulAndRelin,
-    keyswitch.go:156-180). digits (k, beta, Lqp, N) -> (beta, Lqp, N),
-    lazy in [0, 2q) — callers wrap in to_mont, which absorbs it."""
+    keyswitch.go:156-180). digits (k, beta, Lqp, N) -> (beta, Lqp, N).
+
+    Output is LAZY and bounded only as "fits u32": mont_reduce_wide of a
+    k-term 64-bit accumulator is < q + k*q/2 for < 4q digit inputs (NOT
+    [0, 2q)). Consumers must accept any u32 — to_mont/mont_mul do; any
+    caller that ADDS lazy outputs (e.g. a cross-shard psum) must
+    canonicalize first (see parallel/party_mul.py)."""
     ring_qp = params.ring_qp_at(level)
     k = digits.shape[0]
     acc = mm.mul_accum_init(digits.shape[1:])
@@ -152,8 +159,9 @@ def _aggregate_keys(params: Parameters, digits: jax.Array, keys: jax.Array,
 def _sum_parties_ntt(params: Parameters, digits: jax.Array, swks: jax.Array,
                      level: int, lazy: bool = False) -> jax.Array:
     """sum_k sum_b digits[k, b] * swk[k, b] reduced over QP, NTT domain;
-    canonical, or lazy in [0, 2q) when lazy=True and one accumulation
-    chunk suffices (consumers like mod_down_qp absorb lazy values).
+    canonical, or — lazy=True and one accumulation chunk suffices — LAZY:
+    bounded by q + k*beta*q/2 (fits u32, exact mod q; consumers like
+    mod_down_qp's reduce_input iNTT absorb any u32).
     digits (..., k, beta, Lqp, N), swks broadcastable.
 
     Accumulates the whole k x beta product sum in one 64-bit chain with a

@@ -47,9 +47,10 @@ SLICE_H = 128  # stages with half-block h >= SLICE_H use the sliced
 def _fwd_kernel(n, logn, x_ref, wpack_ref, wpack_sh_ref, twist_ref,
                 twist_sh_ref, q_ref, bar_ref, out_ref, *, reduce_input,
                 head_only=False):
-    """Harvey-style lazy butterflies: values stay in [0, 2q) between
-    stages (q < 2^29 so all intermediates fit uint32); one final csub
-    restores canonical form — bit-identical to the jnp path.
+    """Lazy butterflies with sloppy-Shoup twiddle multiplies: values stay
+    in [0, 4q) between stages (q < 2^29 so all intermediates — including
+    the 8q difference pre-multiply — fit uint32); two final csubs restore
+    canonical form — bit-identical to the jnp path.
 
     Big-h stages (h >= SLICE_H) run sliced: each 2h-block splits into a
     top slice T and bottom slice B with
@@ -61,7 +62,7 @@ def _fwd_kernel(n, logn, x_ref, wpack_ref, wpack_sh_ref, twist_ref,
     lanes.
 
     head_only: run only the stages with half-block h >= 128 and emit the
-    LAZY (< 2q) values — the remaining 7 stages are one fixed 128x128
+    LAZY (< 4q) values — the remaining 7 stages are one fixed 128x128
     linear map per limb (Ring.tail_fwd) applied afterwards on the MXU
     (_tail_apply); composition is exact mod q, so the final output is
     still bit-identical to the jnp path."""
@@ -126,7 +127,7 @@ def _fwd_kernel(n, logn, x_ref, wpack_ref, wpack_sh_ref, twist_ref,
 def _inv_kernel(n, logn, x_ref, iwpack_ref, iwpack_sh_ref, untwist_ref,
                 untwist_sh_ref, q_ref, bar_ref, out_ref, *, reduce_input,
                 tail_done=False):
-    """Lazy DIT (values in [0, 2q) between stages; see _fwd_kernel).
+    """Lazy DIT (values in [0, 4q) between stages; see _fwd_kernel).
 
     tail_done: the first 7 stages (h = 1..64) were already applied as the
     fixed 128x128 tail map (Ring.tail_inv) on the MXU before this kernel;

@@ -51,11 +51,16 @@ def _local_mul(rp: Parameters, level: int, axis: str, square: bool,
         dec1 = (ksw.slice_digits(rp, dig1, level) if hoisted1
                 else ksw.decompose(rp, parties1, level))
 
-    x = jax.lax.psum(
-        ksw._aggregate_keys(rp, dec0, ksw.slice_swk(rp, d, level), level),
+    # _aggregate_keys returns LAZY values (bounded only by u32, see its
+    # docstring), so canonicalize BEFORE the cross-shard psum: a uint32
+    # psum of canonical (< q) shards has headroom D*q < 2^32 for any
+    # D <= 8 shards with q < 2^29, whereas psumming the lazy outputs
+    # could silently wrap for large k_local (ADVICE r3).
+    x = jax.lax.psum(ring_qp.reduce(
+        ksw._aggregate_keys(rp, dec0, ksw.slice_swk(rp, d, level), level)),
         axis)
-    y = jax.lax.psum(
-        ksw._aggregate_keys(rp, dec1, ksw.slice_swk(rp, b, level), level),
+    y = jax.lax.psum(ring_qp.reduce(
+        ksw._aggregate_keys(rp, dec1, ksw.slice_swk(rp, b, level), level)),
         axis)
     x = ring_qp.to_mont(ring_qp.reduce(x))
     y = ring_qp.to_mont(ring_qp.reduce(y))
