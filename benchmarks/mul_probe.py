@@ -67,7 +67,7 @@ def main():
     @jax.jit
     def setup(data):
         dec0 = ksw.decompose(rp, data[1:, :lq], level)
-        x = ring_qp.to_mont(ksw._aggregate_keys(rp, dec0, d_keys, level))
+        x = ksw._aggregate_keys(rp, dec0, d_keys, level)
         xqp = ksw.external_product_ntt(rp, dec0, x, level)
         return dec0, x, xqp
 

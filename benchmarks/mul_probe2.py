@@ -75,16 +75,14 @@ def main():
         return acc
 
     def prefix(upto):
-        def fn(cur):
+        def fn(cur, d_keys, b_keys, v_keys, u_key):
             outs = []
             dd = cur[..., :lq, :]
             dec0 = ksw.decompose(rp, dd[1:], level)
             outs.append(dec0)
             if upto >= 2:
-                x = ring_qp.to_mont(
-                    ksw._aggregate_keys(rp, dec0, d_keys, level))
-                y = ring_qp.to_mont(
-                    ksw._aggregate_keys(rp, dec0, b_keys, level))
+                x = ksw._aggregate_keys(rp, dec0, d_keys, level)
+                y = ksw._aggregate_keys(rp, dec0, b_keys, level)
                 outs += [x, y]
             if upto >= 3:
                 nt0 = ring_q.ntt(dd)
@@ -129,30 +127,31 @@ def main():
     prev = 0.0
     for i, name in enumerate(names, start=1):
         fn = prefix(i)
-        def body(j, cur):
-            r = fn(cur)
-            return cur ^ r
+        # keys ride as jit ARGUMENTS (constants would bloat the serialized
+        # HLO past the remote-compile relay's request limit)
         run = jax.jit(
-            lambda a, kk: jax.lax.fori_loop(0, kk, body, a).ravel()[0])
-        ms = min(slope_time_ms(lambda k: run(data, k), 2, 16)
-                 for _ in range(3))
+            lambda a, kk, dk, bk, vk, uk: jax.lax.fori_loop(
+                0, kk, lambda j, cur: cur ^ fn(cur, dk, bk, vk, uk),
+                a).ravel()[0])
+        ms = min(slope_time_ms(
+            lambda k: run(data, k, d_keys, b_keys, v_keys, u_key), 2, 16)
+            for _ in range(3))
         print(f"{name:42s} {ms:8.3f} ms   (+{ms - prev:6.3f})", flush=True)
         prev = ms
 
     # the real full mult for reference
     from mkhe_tpu.mkrlwe.elements import Ciphertext
 
-    def full(cur):
+    def full(cur, b, d, v):
         c = Ciphertext(ids=ids, data=cur)
         out = ksw.mul_and_relin(rp, c, c, (b, d, v), level, square=True)
         return basis.div_round_by_last_moduli(out.data, ring_q, 2)
 
-    def bodyf(j, cur):
-        r = full(cur)
-        return cur ^ r[0, 0, 0]
     runf = jax.jit(
-        lambda a, kk: jax.lax.fori_loop(0, kk, bodyf, a)[0, 0, 0])
-    ms = min(slope_time_ms(lambda k: runf(data, k), 2, 16)
+        lambda a, kk, b_, d_, v_: jax.lax.fori_loop(
+            0, kk, lambda j, cur: cur ^ full(cur, b_, d_, v_)[0, 0, 0],
+            a)[0, 0, 0])
+    ms = min(slope_time_ms(lambda k: runf(data, k, b, d, v), 2, 16)
              for _ in range(3))
     print(f"{'FULL mul_and_relin(square) + rescale':42s} {ms:8.3f} ms",
           flush=True)

@@ -89,8 +89,8 @@ def main():
 
     # materialize intermediates once for phase isolation
     dec0 = jax.jit(lambda x: ksw.decompose(rp, x, level))(data[1:])
-    x = jax.jit(lambda dg: ring_qp.to_mont(
-        ksw._aggregate_keys(rp, dg, d_keys, level)))(dec0)
+    x = jax.jit(lambda dg: ksw._aggregate_keys(rp, dg, d_keys,
+                                               level))(dec0)
     t = jax.jit(lambda dg, xx: ksw.external_product(rp, dg, xx, level))(
         dec0, x)
     dec_t = jax.jit(lambda tt: ksw.decompose(rp, tt, level))(t)
@@ -114,9 +114,9 @@ def main():
     timed("full decompose (dec0)",
           lambda s, dat: ksw.decompose(rp, seed_mix(s, dat), level),
           data[1:])
-    timed("aggregate x (incl to_mont)",
-          lambda s, dg, dk: ring_qp.to_mont(ksw._aggregate_keys(
-              rp, seed_mix(s, dg), dk, level)), dec0, d_keys)
+    timed("aggregate x",
+          lambda s, dg, dk: ksw._aggregate_keys(
+              rp, seed_mix(s, dg), dk, level), dec0, d_keys)
     def tensor(s, dat):
         d0 = seed_mix(s, dat)
         nt0 = ring_q.ntt(d0)

@@ -78,11 +78,14 @@ class KeyGenerator(mkrlwe.KeyGenerator):
                              p.rlwe.crs[-3][:beta]], axis=0)
         u = p.rlwe.crs[-1][:beta]
 
+        # b/d in DOUBLE-Montgomery form (see mkrlwe/keygen._relin_b_core):
+        # the x/y aggregation's Montgomery reduction then emits Montgomery
+        # form directly, skipping the per-mult to_mont passes.
         e = self._gaussian_qp(2 * beta)
-        b = ring.sub(e, ring.mul_mont(a, sk.data[None]))
+        b = ring.to_mont(ring.sub(e, ring.mul_mont(a, sk.data[None])))
 
         d = self.gen_bfv_switching_key(sk)
-        d = ring.sub(d, ring.mul_mont(a, r.data[None]))
+        d = ring.to_mont(ring.sub(d, ring.mul_mont(a, r.data[None])))
 
         v = self.gen_switching_key(r).data
         v = ring.neg(ring.add(ring.mul_mont(u, sk.data[None]), v))

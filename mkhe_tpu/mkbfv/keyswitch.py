@@ -65,11 +65,8 @@ def decompose_bfv(params: Parameters, x_r: jax.Array) -> jax.Array:
     alpha source limbs per digit (Q-half digits first, then QMul-half)."""
     rp = params.rlwe
     ring_qp = rp.ring_qp
-    digits = rns_basis.decompose_digits(x_r, params.ring_r, ring_qp,
-                                        rp.alpha)
-    # digits are lazy residues (alpha==1 broadcasts / alpha>=2 lazy
-    # mod_up); the Pallas forward path absorbs them for free.
-    return ring_qp.ntt(digits, reduce_input=True)
+    # Fused mod_up + NTT on TPU; staged path elsewhere (bit-identical).
+    return rns_basis.decompose_ntt(x_r, params.ring_r, ring_qp, rp.alpha)
 
 
 def mul_and_relin_bfv(params: Parameters, ct0r: Ciphertext,
@@ -107,8 +104,8 @@ def mul_and_relin_bfv(params: Parameters, ct0r: Ciphertext,
     v_keys = v_all[sel0]
     u_key = rp.crs[-1][:rp.beta(level)]
 
-    x = ring_qp.to_mont(ksw._aggregate_keys(rp, dec0, d_keys, level))
-    y = ring_qp.to_mont(ksw._aggregate_keys(rp, dec1, b_keys, level))
+    x = ksw._aggregate_keys(rp, dec0, d_keys, level)
+    y = ksw._aggregate_keys(rp, dec1, b_keys, level)
 
     # tensor in ring R (NTT), then quantize each component by t/QMul
     nt0 = ring_r.ntt(ct0r.data)

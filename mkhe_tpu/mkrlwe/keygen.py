@@ -76,17 +76,21 @@ def _switching_key_core(rp: Parameters, e_mont, s_mont):
 
 @jax.jit
 def _relin_b_core(rp: Parameters, e_mont, s_mont):
+    # b/d are stored in DOUBLE-Montgomery form (value * 2^64 mod q): the
+    # x/y key aggregation's single Montgomery reduction then lands
+    # directly in Montgomery form, eliminating the per-mult to_mont(x/y)
+    # passes (keyswitch._aggregate_keys). One extra to_mont at keygen.
     ring = rp.ring_qp
     beta = e_mont.shape[0]
     a = rp.crs[0][:beta]
-    return ring.sub(e_mont, ring.mul_mont(a, s_mont[None]))
+    return ring.to_mont(ring.sub(e_mont, ring.mul_mont(a, s_mont[None])))
 
 
 @jax.jit
 def _relin_d_core(rp: Parameters, sg, r_mont):
     ring = rp.ring_qp
     a = rp.crs[0][:sg.shape[0]]
-    return ring.sub(sg, ring.mul_mont(a, r_mont[None]))
+    return ring.to_mont(ring.sub(sg, ring.mul_mont(a, r_mont[None])))
 
 
 @jax.jit

@@ -52,7 +52,12 @@ class SwitchingKey:
 @dataclasses.dataclass(frozen=True)
 class RelinearizationKey:
     """KKLSS triple (b, d, v), each a switching-key-shaped vector
-    (mkrlwe/keys.go:34-37)."""
+    (mkrlwe/keys.go:34-37).
+
+    Storage convention: v is NTT+Montgomery like every other key; b and d
+    are NTT + DOUBLE-Montgomery (value * 2^64 mod q) so the x/y key
+    aggregation's single Montgomery reduction emits Montgomery form
+    directly (keygen._relin_b_core, keyswitch._aggregate_keys)."""
     b: jax.Array
     d: jax.Array
     v: jax.Array

@@ -42,12 +42,10 @@ def decompose(params: Parameters, x: jax.Array, level: int) -> jax.Array:
     (keyswitch.go:49-73)."""
     ring_q = params.ring_q_at(level)
     ring_qp = params.ring_qp_at(level)
-    digits = basis.decompose_digits(x, ring_q, ring_qp, params.alpha)
-    # digits are lazy vs the target modulus (alpha==1: raw-residue
-    # broadcasts; alpha>=2: < 4q from the lazy mod_up). reduce_input=True
-    # is free on the Pallas forward path (the sloppy twist absorbs any
-    # u32) and Barrett-reduces on the exact jnp path.
-    return ring_qp.ntt(digits, reduce_input=True)
+    # Fused mod_up + NTT on TPU (one HBM pass over the digit tensor);
+    # staged decompose_digits + ntt(reduce_input=True) elsewhere —
+    # bit-identical either way (basis.decompose_ntt).
+    return basis.decompose_ntt(x, ring_q, ring_qp, params.alpha)
 
 
 def slice_swk(params: Parameters, swk: jax.Array, level: int) -> jax.Array:
@@ -139,21 +137,25 @@ def _aggregate_keys(params: Parameters, digits: jax.Array, keys: jax.Array,
     keep the digit axis (the x/y switching-key aggregation of MulAndRelin,
     keyswitch.go:156-180). digits (k, beta, Lqp, N) -> (beta, Lqp, N).
 
-    Output is LAZY and bounded only as "fits u32": mont_reduce_wide of a
-    k-term 64-bit accumulator is < q + k*q/2 for < 4q digit inputs (NOT
-    [0, 2q)). Consumers must accept any u32 — to_mont/mont_mul do; any
-    caller that ADDS lazy outputs (e.g. a cross-shard psum) must
-    canonicalize first (see parallel/party_mul.py)."""
+    keys are the d/b relin keys, stored in DOUBLE-Montgomery form
+    (keygen._relin_b_core), so the single Montgomery reduction here emits
+    the aggregate directly in Montgomery form — no to_mont pass. Output is
+    CANONICAL (< q): the reduction's bound is q*(1 + k/8) for canonical
+    digits (< q) and keys (< q < 2^29), so ceil(k/8) conditional
+    subtractions restore [0, q). Canonical output also makes the
+    cross-shard psum in parallel/party_mul.py overflow-safe (D*q < 2^32
+    for D <= 8 shards)."""
     ring_qp = params.ring_qp_at(level)
     k = digits.shape[0]
     acc = mm.mul_accum_init(digits.shape[1:])
     for i in range(k):
         acc = mm.mul_accum_step(acc, digits[i], keys[i])
     q = ring_qp.q[:, None]
-    # lazy (< 2q) output: every caller feeds this into to_mont, whose
-    # Montgomery multiply accepts any u32 first operand exactly.
-    return mm.mont_reduce_wide(acc[0], acc[1], q,
-                               ring_qp.qinv_neg[:, None])
+    r = mm.mont_reduce_wide(acc[0], acc[1], q,
+                            ring_qp.qinv_neg[:, None])
+    for _ in range((k + 7) // 8):
+        r = mm.csub(r, q)
+    return r
 
 
 def _sum_parties_ntt(params: Parameters, digits: jax.Array, swks: jax.Array,
@@ -248,8 +250,8 @@ def mul_and_relin(params: Parameters, ct0: Ciphertext, ct1: Ciphertext,
         u_key = params.crs_at(-1, level)  # operand rather than a constant
 
     ring_qp = params.ring_qp_at(level)
-    x = ring_qp.to_mont(_aggregate_keys(params, dec0, d_keys, level))
-    y = ring_qp.to_mont(_aggregate_keys(params, dec1, b_keys, level))
+    x = _aggregate_keys(params, dec0, d_keys, level)
+    y = _aggregate_keys(params, dec1, b_keys, level)
 
     # tensor terms (NTT over Q limbs only)
     nt0 = ring_q.ntt(d0)
@@ -341,8 +343,8 @@ def mul_and_relin_sum(params: Parameters, pairs, rlk_stacked, level: int,
             dec1 = (slice_digits(params, h1.digits, level)
                     if h1 is not None else decompose(params, d1[1:], level))
 
-        x = ring_qp.to_mont(_aggregate_keys(params, dec0, d_keys, level))
-        y = ring_qp.to_mont(_aggregate_keys(params, dec1, b_keys, level))
+        x = _aggregate_keys(params, dec0, d_keys, level)
+        y = _aggregate_keys(params, dec1, b_keys, level)
 
         nt0 = ring_q.ntt(d0)
         nt1 = nt0 if square else ring_q.ntt(d1)

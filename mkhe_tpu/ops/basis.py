@@ -230,6 +230,23 @@ def decompose_digits(x, ring_q: Ring, ring_qp: Ring, alpha: int
     return jnp.stack(outs, axis=-3)
 
 
+def decompose_ntt(x, src_ring: Ring, dst_ring: Ring, alpha: int
+                  ) -> jax.Array:
+    """Gadget decomposition + forward NTT into the dst basis: coeff-domain
+    (..., Ls, N) -> canonical NTT-domain digits (..., beta, Ld, N).
+
+    Negative result (r4, kept as the single dispatch seam): a Pallas
+    kernel fusing the digit mod_up into the forward-NTT prologue (one HBM
+    pass over the digit tensor instead of three) measured ~10% SLOWER
+    than this staged form at PN15/PN14 shapes — the NTT kernel is
+    ALU-bound (~1 us/limb) with HBM slack, so the saved round trip buys
+    nothing while the prologue's ~30 VPU ops/element serialize against
+    the butterflies; XLA's standalone elementwise mod_up pass is
+    effectively free. See BENCH_NOTES r4."""
+    digits = decompose_digits(x, src_ring, dst_ring, alpha)
+    return dst_ring.ntt(digits, reduce_input=True)
+
+
 # ----------------------------------------------------------------------------
 # CKKS rescaling: exact divide-and-round by the last nb moduli
 # ----------------------------------------------------------------------------

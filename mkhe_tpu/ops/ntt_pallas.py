@@ -44,13 +44,17 @@ SLICE_H = 128  # stages with half-block h >= SLICE_H use the sliced
 #                remain bit-identical to the jnp path.
 
 
-def _fwd_kernel(n, logn, x_ref, wpack_ref, wpack_sh_ref, twist_ref,
-                twist_sh_ref, q_ref, bar_ref, out_ref, *, reduce_input,
-                head_only=False):
-    """Lazy butterflies with sloppy-Shoup twiddle multiplies: values stay
+def _fwd_stages(a, n, logn, wpack_ref, wpack_sh_ref, twist_ref,
+                twist_sh_ref, q_ref, out_ref, *, head_only=False):
+    """Forward DIF butterfly pipeline shared by _fwd_kernel and the fused
+    mod_up+NTT kernel (_fwd_modup_kernel): twist then all stages.
+
+    Lazy butterflies with sloppy-Shoup twiddle multiplies: values stay
     in [0, 4q) between stages (q < 2^29 so all intermediates — including
     the 8q difference pre-multiply — fit uint32); two final csubs restore
-    canonical form — bit-identical to the jnp path.
+    canonical form — bit-identical to the jnp path. `a` may be ANY u32
+    (the sloppy twist absorbs lazy inputs: the Shoup bound holds for
+    arbitrary a, and the result is exact mod q).
 
     Big-h stages (h >= SLICE_H) run sliced: each 2h-block splits into a
     top slice T and bottom slice B with
@@ -66,13 +70,8 @@ def _fwd_kernel(n, logn, x_ref, wpack_ref, wpack_sh_ref, twist_ref,
     linear map per limb (Ring.tail_fwd) applied afterwards on the MXU
     (_tail_apply); composition is exact mod q, so the final output is
     still bit-identical to the jnp path."""
-    a = x_ref[0]
     q = q_ref[:]
     q4 = q * jnp.uint32(4)
-    del reduce_input  # the sloppy twist below absorbs ANY u32 input (the
-    # Shoup bound holds for arbitrary a), so no Barrett pass is needed for
-    # lazy inputs — the result is exact mod q either way, hence still
-    # bit-identical to the jnp path (which does Barrett-reduce first).
     # twist: a[j] *= psi^j  (sloppy-lazy, < 4q)
     a = mm.shoup_mul_sloppy(a, twist_ref[:],
                             *mm.shoup_split(twist_sh_ref[:]), q)
@@ -122,6 +121,18 @@ def _fwd_kernel(n, logn, x_ref, wpack_ref, wpack_sh_ref, twist_ref,
         off += h
         h >>= 1
     out_ref[0] = mm.csub(mm.csub(a, q * jnp.uint32(2)), q)
+
+
+def _fwd_kernel(n, logn, x_ref, wpack_ref, wpack_sh_ref, twist_ref,
+                twist_sh_ref, q_ref, bar_ref, out_ref, *, reduce_input,
+                head_only=False):
+    """Plain forward NTT kernel: see _fwd_stages for the pipeline."""
+    del reduce_input, bar_ref  # the sloppy twist absorbs ANY u32 input,
+    # so no Barrett pass is needed for lazy inputs — exact mod q either
+    # way, hence still bit-identical to the jnp path (which Barrett-
+    # reduces first).
+    _fwd_stages(x_ref[0], n, logn, wpack_ref, wpack_sh_ref, twist_ref,
+                twist_sh_ref, q_ref, out_ref, head_only=head_only)
 
 
 def _inv_kernel(n, logn, x_ref, iwpack_ref, iwpack_sh_ref, untwist_ref,

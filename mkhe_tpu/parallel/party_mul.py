@@ -51,19 +51,17 @@ def _local_mul(rp: Parameters, level: int, axis: str, square: bool,
         dec1 = (ksw.slice_digits(rp, dig1, level) if hoisted1
                 else ksw.decompose(rp, parties1, level))
 
-    # _aggregate_keys returns LAZY values (bounded only by u32, see its
-    # docstring), so canonicalize BEFORE the cross-shard psum: a uint32
-    # psum of canonical (< q) shards has headroom D*q < 2^32 for any
-    # D <= 8 shards with q < 2^29, whereas psumming the lazy outputs
-    # could silently wrap for large k_local (ADVICE r3).
-    x = jax.lax.psum(ring_qp.reduce(
-        ksw._aggregate_keys(rp, dec0, ksw.slice_swk(rp, d, level), level)),
-        axis)
-    y = jax.lax.psum(ring_qp.reduce(
-        ksw._aggregate_keys(rp, dec1, ksw.slice_swk(rp, b, level), level)),
-        axis)
-    x = ring_qp.to_mont(ring_qp.reduce(x))
-    y = ring_qp.to_mont(ring_qp.reduce(y))
+    # _aggregate_keys returns CANONICAL Montgomery-form partials (the d/b
+    # keys carry the extra Montgomery factor — see keygen._relin_b_core),
+    # so the uint32 psum has headroom D*q < 2^32 for any D <= 8 shards
+    # with q < 2^29 (ADVICE r3), and no to_mont pass is needed; one
+    # Barrett reduce canonicalizes the psum.
+    x = ring_qp.reduce(jax.lax.psum(
+        ksw._aggregate_keys(rp, dec0, ksw.slice_swk(rp, d, level), level),
+        axis))
+    y = ring_qp.reduce(jax.lax.psum(
+        ksw._aggregate_keys(rp, dec1, ksw.slice_swk(rp, b, level), level),
+        axis))
 
     # tensor terms (c0 ops replicated; party terms local)
     nt00 = ring_q.ntt(c0_pair[0])

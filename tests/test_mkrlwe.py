@@ -94,9 +94,13 @@ def test_relin_key_identities(params, kgen):
             assert _inner_sum_log2(rq, params.q_moduli) <= bound
             assert _inner_sum_log2(rp, params.p_moduli) <= bound
 
-    check(ring.add(rlk.b, ring.mul_mont(a, s.data[None])))
+    # b/d are stored in DOUBLE-Montgomery form (keys.py); strip the extra
+    # factor once before checking the algebraic identities.
+    b_std = ring.from_mont(rlk.b)
+    d_std = ring.from_mont(rlk.d)
+    check(ring.add(b_std, ring.mul_mont(a, s.data[None])))
     # d + ra - sg = e - e' (sg has fresh error)
-    check(ring.sub(ring.add(rlk.d, ring.mul_mont(a, r.data[None])), sg))
+    check(ring.sub(ring.add(d_std, ring.mul_mont(a, r.data[None])), sg))
     # v + su + rg = -e - e'
     check(ring.add(ring.add(rlk.v, ring.mul_mont(u, s.data[None])), rg))
 
