@@ -122,6 +122,30 @@ def bfv_correctness() -> dict:
     return {"bfv_exact": exact}
 
 
+def oracle_cross_check() -> dict:
+    """Cross-validation against the u64 reference oracle at PN15QP880
+    (VERDICT r3 #2): native/ref_oracle.cpp runs the REAL keygen/encrypt/
+    MulAndRelin/decrypt pipeline at the reference's literal 64-bit prime
+    lists on the same plaintext integers as the u32 framework; both must
+    land within the reference noise bound, within a few bits of each
+    other. See tests/test_ref_oracle.py for the fast-tier variant."""
+    import math
+    from mkhe_tpu import mkckks
+    from mkhe_tpu.utils import oracle
+
+    if oracle.oracle_binary() is None:
+        return {"oracle_skipped": "no C++ toolchain"}
+    params = mkckks.PN15QP880()
+    err64, err32, _ = oracle.cross_validate("pn15", params, seed=17)
+    bound = -math.log2(params.scale) + params.logslots + 12
+    ok = bool(err64 <= bound and err32 <= bound
+              and abs(err64 - err32) <= 6.0)
+    return {"oracle_log2_err_u64": round(err64, 2),
+            "oracle_log2_err_u32": round(err32, 2),
+            "oracle_bound": round(bound, 2),
+            "oracle_ok": ok}
+
+
 def main():
     parties = int(os.environ.get("BENCH_PARTIES", "4"))
     import numpy as np
@@ -223,7 +247,9 @@ def main():
     if os.environ.get("BENCH_SKIP_CORRECTNESS") != "1":
         checks.update(ckks_correctness(parties))
         checks.update(bfv_correctness())
-        correct = bool(checks.get("ckks_ok") and checks.get("bfv_exact"))
+        checks.update(oracle_cross_check())
+        correct = bool(checks.get("ckks_ok") and checks.get("bfv_exact")
+                       and checks.get("oracle_ok", True))
     else:
         correct = None
 

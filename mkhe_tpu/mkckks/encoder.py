@@ -54,6 +54,42 @@ def _tables(logn: int):
     return e, t_pos, t_neg, twist
 
 
+def encode_to_coeffs(values: np.ndarray, scale: float, logn: int,
+                     logslots: int | None = None) -> np.ndarray:
+    """complex slots -> centered integer plaintext coefficients (N,)
+    float64 (exact integers while |coeff| < 2^62; callers round).
+
+    The scheme-independent half of encode(): the canonical-embedding
+    evaluation + scaling, BEFORE the RNS residue split. Used by the u64
+    cross-validation oracle (tests/test_ref_oracle.py) so the u32
+    framework and the u64 reference model consume bit-identical
+    plaintext integers."""
+    n = 1 << logn
+    if logslots is None:
+        logslots = logn - 1
+    sub_logn = logslots + 1
+    n_sub = 1 << sub_logn
+    nh_sub = n_sub // 2
+    _, t_pos, t_neg, twist = _tables(sub_logn)
+    z = np.asarray(values, np.complex128)
+    if z.shape[0] > nh_sub:
+        raise ValueError(f"too many values for logslots={logslots}")
+    if z.shape[0] != nh_sub:
+        full = np.zeros(nh_sub, np.complex128)
+        full[:z.shape[0]] = z
+        z = full
+    ev = np.zeros(n_sub, np.complex128)
+    ev[t_pos] = z
+    ev[t_neg] = np.conj(z)
+    v = np.fft.fft(ev) / n_sub
+    m_sub = np.real(v * np.conj(twist)) * scale
+    if n_sub == n:
+        return m_sub
+    m = np.zeros(n, np.float64)
+    m[:: n // n_sub] = m_sub
+    return m
+
+
 def encode(values: np.ndarray, scale: float, moduli, logn: int,
            logslots: int | None = None) -> np.ndarray:
     """complex slots -> uint32 RNS coeffs (L, N), scaled + rounded.
@@ -66,32 +102,7 @@ def encode(values: np.ndarray, scale: float, moduli, logn: int,
     ckks.Encoder sparse layout; reference uses it via logSlots in
     ckks.ParametersLiteral)."""
     n = 1 << logn
-    nh = n // 2
-    if logslots is None:
-        logslots = logn - 1
-    sub_logn = logslots + 1          # subring degree 2*slots
-    n_sub = 1 << sub_logn
-    nh_sub = n_sub // 2
-    _, t_pos, t_neg, twist = _tables(sub_logn)
-    z = np.asarray(values, np.complex128)
-    if z.shape[0] > nh_sub:
-        raise ValueError(
-            f"too many values for logslots={logslots}: got {z.shape[0]}, "
-            f"capacity {nh_sub}")
-    if z.shape[0] != nh_sub:
-        full = np.zeros(nh_sub, np.complex128)
-        full[:z.shape[0]] = z
-        z = full
-    ev = np.zeros(n_sub, np.complex128)
-    ev[t_pos] = z
-    ev[t_neg] = np.conj(z)
-    v = np.fft.fft(ev) / n_sub
-    m_sub = np.real(v * np.conj(twist)) * scale
-    if n_sub == n:
-        m = m_sub
-    else:
-        m = np.zeros(n, np.float64)
-        m[:: n // n_sub] = m_sub
+    m = encode_to_coeffs(values, scale, logn, logslots)
     big = np.abs(m).max() if m.size else 0.0
     if big < 2 ** 62:
         mi = np.round(m).astype(np.int64)
