@@ -79,9 +79,15 @@ def main():
         return ms
 
     # forward NTT / inverse NTT on the digit tensor
-    timed("ntt fwd (4,14,32,N)", lambda cur: ring_qp.ntt(cur), dig)
-    timed("intt (4,14,32,N)",
-          lambda cur: ring_qp.intt(cur, reduce_input=True), dig)
+    from mkhe_tpu.utils import profiling
+    nlimbs = int(np.prod(dig.shape[:-1]))
+    ms = timed("ntt fwd (4,14,32,N)", lambda cur: ring_qp.ntt(cur), dig)
+    print("  " + profiling.roofline_report(params.logn, nlimbs,
+                                           ms * 1e3), flush=True)
+    ms = timed("intt (4,14,32,N)",
+               lambda cur: ring_qp.intt(cur, reduce_input=True), dig)
+    print("  " + profiling.roofline_report(params.logn, nlimbs,
+                                           ms * 1e3), flush=True)
     # mod_up only (decompose_digits, no NTT): output same shape as dig
     timed("mod_up digits only",
           lambda cur: basis.decompose_digits(

@@ -49,10 +49,16 @@ def main():
     ct_a = enc.encrypt_msg(mkckks.Message(value=za), pk_set.get("alice"))
     ct_b = enc.encrypt_msg(mkckks.Message(value=zb), pk_set.get("bob"))
 
-    # homomorphic (za + zb) * za, then rotate left by 1
-    ct_sum = ev.add_new(ct_a, ct_b)          # 2-party ciphertext
-    ct_prod = ev.mul_relin_new(ct_sum, ct_a, rlk_set)
-    ct_rot = ev.rotate_new(ct_prod, 1, rtk_set)
+    # homomorphic (za + zb) * za, then rotate left by 1 — timed per op
+    # with honest host-fetch synchronization (utils/profiling.Timer)
+    from mkhe_tpu.utils.profiling import Timer
+    timer = Timer()
+    with timer.region("add"):
+        ct_sum = ev.add_new(ct_a, ct_b)      # 2-party ciphertext
+    with timer.region("mul_relin", sync_out=None) as _:
+        ct_prod = ev.mul_relin_new(ct_sum, ct_a, rlk_set)
+    with timer.region("rotate"):
+        ct_rot = ev.rotate_new(ct_prod, 1, rtk_set)
 
     # distributed decryption: alice partially decrypts, then bob
     partial = dec.partial_decrypt(ct_rot, sk_set.get("alice"))
@@ -61,6 +67,7 @@ def main():
 
     want = np.roll((za + zb) * za, -1)
     err = np.max(np.abs(out.value.real - want))
+    print(timer.summary())
     print(f"slots={params.slots}  max |err| = {err:.2e}")
     assert err < 1e-6
     print("two-party encrypted computation verified")

