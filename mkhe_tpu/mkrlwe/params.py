@@ -106,8 +106,17 @@ def _gen_crs_core(ring_qp: Ring, key, beta: int) -> jax.Array:
     return ring_qp.to_mont(u)
 
 
+@jax.jit
+def _crs_key(seed, idx):
+    # seed/idx as traced args: a python-int seed would bake into each
+    # trace as a fresh constant and recompile threefry_seed per CRS
+    # index (~0.3 s each — 7 s of a PN15 construction, r4 profile)
+    return jax.random.fold_in(jax.random.key(seed), idx)
+
+
 def _gen_crs(ring_qp: Ring, beta: int, seed: int, idx: int) -> jax.Array:
-    key = jax.random.fold_in(jax.random.key(seed), idx & 0xFFFFFFFF)
+    key = _crs_key(jnp.uint32(seed & 0xFFFFFFFF),
+                   jnp.uint32(idx & 0xFFFFFFFF))
     return _gen_crs_core(ring_qp, key, beta)
 
 

@@ -86,28 +86,26 @@ def _fwd_stages(a, n, logn, wpack_ref, wpack_sh_ref, twist_ref,
                             *mm.shoup_split(twist_sh_ref[:]), q)
     off = 0
     h = n >> 1
-    if h >= SLICE_H:
-        chunks = [a[:, c:c + SLICE_H] for c in range(0, n, SLICE_H)]
-        while h >= SLICE_H:
-            h128 = h // SLICE_H
-            tws = [(wpack_ref[:, off + j * SLICE_H:
-                              off + (j + 1) * SLICE_H],
-                    *mm.shoup_split(
-                        wpack_sh_ref[:, off + j * SLICE_H:
-                                     off + (j + 1) * SLICE_H]))
-                   for j in range(h128)]
-            for blk in range(n // (2 * h)):
-                base = blk * 2 * h128
-                for j in range(h128):
-                    t = chunks[base + j]
-                    b = chunks[base + h128 + j]
-                    tw, sh0, sh1 = tws[j]
-                    chunks[base + j] = mm.csub(t + b, q4)        # < 4q
-                    chunks[base + h128 + j] = mm.shoup_mul_sloppy(
-                        t + (q4 - b), tw, sh0, sh1, q)           # < 4q
-            off += h
-            h >>= 1
-        a = jnp.concatenate(chunks, axis=1)
+    while h >= SLICE_H:
+        # natural-width slices: stage h runs n/(2h) butterfly ops of lane
+        # width h (not n/128 fixed 128-lane chunk ops — at logN=15 the
+        # 256-chunk SSA working set overwhelmed the register allocator
+        # and the kernel slid to ~2.4 us/limb; wide slices keep the live
+        # state as a handful of values Mosaic tiles internally)
+        tw = wpack_ref[:, off:off + h]
+        sh0, sh1 = mm.shoup_split(wpack_sh_ref[:, off:off + h])
+        parts = []
+        for blk in range(n // (2 * h)):
+            base = blk * 2 * h
+            t = a[:, base:base + h]
+            b = a[:, base + h:base + 2 * h]
+            parts.append(mm.csub(t + b, q4))                     # < 4q
+            parts.append(mm.shoup_mul_sloppy(
+                t + (q4 - b), tw, sh0, sh1, q))                  # < 4q
+        a = parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts, axis=1)
+        off += h
+        h >>= 1
     if head_only:
         out_ref[0] = a
         return
@@ -216,33 +214,22 @@ def _inv_kernel(n, logn, x_ref, iwpack_ref, iwpack_sh_ref, untwist_ref,
             groups.append(a_g)
         a = groups[0] if len(groups) == 1 else jnp.concatenate(
             groups, axis=1)
-    # big-h sliced stages (see _fwd_kernel / SLICE_H): maintain the state
-    # as 128-lane chunks; at stage h the 2h-block pairs chunk j with chunk
-    # j + h/128, and the twiddle for pair j is the static 128-lane slice
-    # iwpack[off + 128 j : off + 128 (j+1)] — identical for every block.
-    if h < n:
-        chunks = [a[:, c:c + SLICE_H] for c in range(0, n, SLICE_H)]
-        while h < n:
-            o = offs[h]
-            h128 = h // SLICE_H
-            tws = [(iwpack_ref[:, o + j * SLICE_H:
-                               o + (j + 1) * SLICE_H],
-                    *mm.shoup_split(
-                        iwpack_sh_ref[:, o + j * SLICE_H:
-                                      o + (j + 1) * SLICE_H]))
-                   for j in range(h128)]
-            for blk in range(n // (2 * h)):
-                base = blk * 2 * h128
-                for j in range(h128):
-                    t = chunks[base + j]
-                    b = chunks[base + h128 + j]
-                    tw, sh0, sh1 = tws[j]
-                    v = mm.shoup_mul_sloppy(b, tw, sh0, sh1, q)  # < 4q
-                    chunks[base + j] = mm.csub(t + v, q4)      # < 4q
-                    chunks[base + h128 + j] = mm.csub(
-                        t + (q4 - v), q4)                      # < 4q
-            h *= 2
-        a = jnp.concatenate(chunks, axis=1)
+    # big-h sliced stages with natural-width slices (see _fwd_stages)
+    while h < n:
+        o = offs[h]
+        tw = iwpack_ref[:, o:o + h]
+        sh0, sh1 = mm.shoup_split(iwpack_sh_ref[:, o:o + h])
+        parts = []
+        for blk in range(n // (2 * h)):
+            base = blk * 2 * h
+            t = a[:, base:base + h]
+            b = a[:, base + h:base + 2 * h]
+            v = mm.shoup_mul_sloppy(b, tw, sh0, sh1, q)          # < 4q
+            parts.append(mm.csub(t + v, q4))                     # < 4q
+            parts.append(mm.csub(t + (q4 - v), q4))              # < 4q
+        a = parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts, axis=1)
+        h *= 2
     # untwist by psi^{-j}/N, restore canonical form
     x = mm.shoup_mul_sloppy(a, untwist_ref[:],
                             *mm.shoup_split(untwist_sh_ref[:]), q)

@@ -28,8 +28,40 @@ from .primes import primitive_root_2n, bit_reverse
 U32 = jnp.uint32
 
 
+def _pow_seq(base: int, n: int, q: int) -> "np.ndarray":
+    """[base^0, ..., base^(n-1)] mod q as uint64 (q < 2^32): log(n)
+    vectorized doubling steps instead of an n-step python loop — products
+    are < 2^32 * 2^32 and stay exact in u64."""
+    out = np.ones(n, np.uint64)
+    qq = np.uint64(q)
+    m = 1
+    while m < n:
+        step = np.uint64(pow(int(base), m, int(q)))
+        hi = min(2 * m, n)
+        out[m:hi] = (out[:hi - m] * step) % qq
+        m = hi
+    return out
+
+
+def _shoup_vec(v: "np.ndarray", q: int) -> "np.ndarray":
+    """floor(v * 2^32 / q) for canonical v (< q < 2^32), exact in u64."""
+    return ((v.astype(np.uint64) << np.uint64(32)) // np.uint64(q)
+            ).astype(np.uint32)
+
+
+def _brv_vec(logn: int) -> "np.ndarray":
+    n = 1 << logn
+    j = np.arange(n, dtype=np.uint32)
+    r = np.zeros_like(j)
+    for t in range(logn):
+        r = (r << np.uint32(1)) | ((j >> np.uint32(t)) & np.uint32(1))
+    return r.astype(np.int64)
+
+
 def _host_tables(moduli: Tuple[int, ...], logn: int):
-    """Build all per-limb constant tables with exact python ints."""
+    """Build all per-limb constant tables (vectorized numpy u64: a PN15
+    32-limb ring builds in <1 s; the r1-r3 python-int loops took ~50 s,
+    dominating every test module's startup)."""
     n = 1 << logn
     L = len(moduli)
     q = np.array(moduli, dtype=np.uint32)
@@ -54,26 +86,19 @@ def _host_tables(moduli: Tuple[int, ...], logn: int):
     twist_sh = np.empty((L, n), np.uint32)
     untwist = np.empty((L, n), np.uint32)
     untwist_sh = np.empty((L, n), np.uint32)
+    brv = _brv_vec(logn)
     for i, qi in enumerate(moduli):
         qinv_neg[i], r2[i] = mm.mont_constants(qi)
         bar[i] = mm.barrett_constant(qi)
         root = primitive_root_2n(qi, logn)
         iroot = pow(root, -1, qi)
         # Psi[j] = psi^brv(j), IPsi[j] = psi^{-brv(j)}
-        pw = 1
-        ipw = 1
-        fwd = np.empty(n, np.uint64)
-        inv = np.empty(n, np.uint64)
-        for j in range(n):
-            fwd[j] = pw
-            inv[j] = ipw
-            pw = pw * root % qi
-            ipw = ipw * iroot % qi
-        brv = np.array([bit_reverse(j, logn) for j in range(n)])
+        fwd = _pow_seq(root, n, qi)
+        inv = _pow_seq(iroot, n, qi)
         psi[i] = fwd[brv].astype(np.uint32)
         ipsi[i] = inv[brv].astype(np.uint32)
-        psi_sh[i] = ((psi[i].astype(object) << 32) // qi).astype(np.uint32)
-        ipsi_sh[i] = ((ipsi[i].astype(object) << 32) // qi).astype(np.uint32)
+        psi_sh[i] = _shoup_vec(psi[i], qi)
+        ipsi_sh[i] = _shoup_vec(ipsi[i], qi)
         nv = pow(n, -1, qi)
         ninv[i] = nv
         ninv_sh[i] = (nv << 32) // qi
@@ -83,32 +108,18 @@ def _host_tables(moduli: Tuple[int, ...], logn: int):
         for s_ in range(1, logn + 1):
             h = n >> s_
             stride = 1 << (s_ - 1)
-            wf = pow(omega, stride, qi)
-            wi = pow(iomega, stride, qi)
-            cf = 1
-            ci = 1
-            for j in range(h):
-                wpack[i, off + j] = cf
-                iwpack[i, off + j] = ci
-                cf = cf * wf % qi
-                ci = ci * wi % qi
+            wpack[i, off:off + h] = _pow_seq(
+                pow(omega, stride, qi), h, qi).astype(np.uint32)
+            iwpack[i, off:off + h] = _pow_seq(
+                pow(iomega, stride, qi), h, qi).astype(np.uint32)
             off += h
-        wpack_sh[i] = ((wpack[i].astype(object) << 32) // qi
-                       ).astype(np.uint32)
-        iwpack_sh[i] = ((iwpack[i].astype(object) << 32) // qi
-                        ).astype(np.uint32)
-        tw = 1
-        for j in range(n):
-            twist[i, j] = tw
-            tw = tw * root % qi
-        iroot_pows = 1
-        for j in range(n):
-            untwist[i, j] = iroot_pows * nv % qi
-            iroot_pows = iroot_pows * iroot % qi
-        twist_sh[i] = ((twist[i].astype(object) << 32) // qi
-                       ).astype(np.uint32)
-        untwist_sh[i] = ((untwist[i].astype(object) << 32) // qi
-                         ).astype(np.uint32)
+        wpack_sh[i] = _shoup_vec(wpack[i], qi)
+        iwpack_sh[i] = _shoup_vec(iwpack[i], qi)
+        twist[i] = fwd.astype(np.uint32)
+        untwist[i] = ((inv * np.uint64(nv)) % np.uint64(qi)
+                      ).astype(np.uint32)
+        twist_sh[i] = _shoup_vec(twist[i], qi)
+        untwist_sh[i] = _shoup_vec(untwist[i], qi)
     tail_fwd, tail_inv, tail_pow = _tail_matrices(
         moduli, logn, wpack, iwpack)
     return dict(q=q, qinv_neg=qinv_neg, r2=r2, bar=bar, psi=psi,
