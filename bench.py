@@ -88,8 +88,11 @@ def ckks_correctness(parties: int) -> dict:
             "ckks_ok": bool(log2_err <= bound)}
 
 
-def bfv_correctness() -> dict:
-    """One exact MKBFV mult at PN15QP880 (2 parties), integer equality."""
+def bfv_correctness(parties: int = 2) -> dict:
+    """Exact MKBFV mult at PN15QP880, integer equality. parties=2 runs
+    the reference bench config; parties=4 multiplies two 2-party sums
+    (distinct id sets {0,1} x {2,3} -> 4-party union, the flagship BFV
+    relin path; VERDICT r3 #4)."""
     import numpy as np
     from mkhe_tpu import mkrlwe, mkbfv
 
@@ -98,7 +101,7 @@ def bfv_correctness() -> dict:
     sks = mkrlwe.SecretKeySet()
     rlk = mkbfv.RelinearizationKeySet()
     pks = {}
-    for i in range(2):
+    for i in range(parties):
         uid = f"user{i}"
         sk, pk = kgen.gen_key_pair(uid)
         r = kgen.gen_secret_key(uid)
@@ -110,16 +113,109 @@ def bfv_correctness() -> dict:
     ev = mkbfv.Evaluator(params)
     rng = np.random.default_rng(9)
     t = params.t
-    m0 = rng.integers(-(t // 2) + 1, t // 2, params.n, dtype=np.int64)
-    m1 = rng.integers(-(t // 2) + 1, t // 2, params.n, dtype=np.int64)
-    c0 = enc.encrypt_msg(m0, pks["user0"])
-    c1 = enc.encrypt_msg(m1, pks["user1"])
+    half = parties // 2
+    lo, hi = -(t // 2) + 1, t // 2
+    ms = [rng.integers(lo // half, hi // half, params.n, dtype=np.int64)
+          for _ in range(parties)]
+    c0 = c1 = None
+    for i in range(parties):
+        c = enc.encrypt_msg(ms[i], pks[f"user{i}"])
+        if i < half:
+            c0 = c if c0 is None else ev.add_new(c0, c)
+        else:
+            c1 = c if c1 is None else ev.add_new(c1, c)
     res = ev.mul_relin_new(c0, c1, rlk)
     got = dec.decrypt(res, sks)
-    want = np.mod(m0 * m1, t)
+    w0 = sum(ms[:half])
+    w1 = sum(ms[half:])
+    want = np.mod(w0 * w1, t)
     want = np.where(want > t // 2, want - t, want)
     exact = bool(np.array_equal(got, want))
-    return {"bfv_exact": exact}
+    return {f"bfv_exact_{parties}party" if parties != 2 else "bfv_exact":
+            exact}
+
+
+def op_matrix(preset: str, parties: int) -> dict:
+    """Flagship op-matrix gate (VERDICT r3 #4): rotation, conjugation,
+    hoisted mult (bit-identity), and a level-exhausting mult+rescale
+    chain to level 1, each asserted at the named preset's parameters
+    against the reference noise bounds (mkckks_test.go:215-225,320-362).
+    Returns per-op pass/fail keyed {preset}_{op}_ok."""
+    import math
+    import numpy as np
+    from mkhe_tpu import mkrlwe, mkckks
+
+    tag = preset.lower()
+    params = getattr(mkckks, preset)().add_crs(1)
+    kgen = mkrlwe.KeyGenerator(params.rlwe, seed=31)
+    sks = mkrlwe.SecretKeySet()
+    rlk = mkrlwe.RelinearizationKeySet()
+    rtk = mkrlwe.RotationKeySet()
+    cjk = mkrlwe.ConjugationKeySet()
+    pks = {}
+    for i in range(parties):
+        uid = f"user{i}"
+        sk, pk = kgen.gen_key_pair(uid)
+        sks.add(sk)
+        rlk.add(kgen.gen_relinearization_key(sk, kgen.gen_secret_key(uid)))
+        rtk.add(kgen.gen_rotation_key(1, sk))
+        cjk.add(kgen.gen_conjugation_key(sk))
+        pks[uid] = pk
+    enc = mkckks.Encryptor(params, seed=32)
+    dec = mkckks.Decryptor(params)
+    ev = mkckks.Evaluator(params)
+    rng = np.random.default_rng(21)
+
+    ct, want = None, 0
+    for i in range(parties):
+        m = mkckks.Message(
+            value=rng.uniform(0.1 / parties, 1.0 / parties, params.slots)
+            + 1j * rng.uniform(0.1 / parties, 1.0 / parties, params.slots))
+        c = enc.encrypt_msg(m, pks[f"user{i}"])
+        ct = c if ct is None else ev.add_new(ct, c)
+        want = want + m.value
+
+    bound = -math.log2(params.scale) + params.logslots + 12
+
+    def log2err(got, w):
+        return math.log2(max(float(np.max(np.abs(got - w))), 1e-300))
+
+    out = {}
+    # rotation by 1 (testEvaluatorRotate, mkckks_test.go:215-225)
+    e = log2err(dec.decrypt(ev.rotate_new(ct, 1, rtk), sks).value,
+                np.roll(want, -1))
+    out[f"{tag}_rotate_log2_err"] = round(e, 1)
+    out[f"{tag}_rotate_ok"] = bool(e <= bound)
+    # conjugation
+    e = log2err(dec.decrypt(ev.conjugate_new(ct, cjk), sks).value,
+                np.conj(want))
+    out[f"{tag}_conj_log2_err"] = round(e, 1)
+    out[f"{tag}_conj_ok"] = bool(e <= bound)
+    # hoisted mult: bit-identical to the plain mult
+    res = ev.mul_relin_new(ct, ct, rlk)
+    h = ev.hoisted_form(ct)
+    res_h = ev.mul_relin_hoisted_new(ct, ct, h, h, rlk)
+    out[f"{tag}_hoisted_bitident"] = bool(
+        np.array_equal(np.asarray(res.ct.data), np.asarray(res_h.ct.data)))
+    # level-exhausting chain: multiply by fresh encryptions of 1.0 down
+    # to level 1, rescaling at every level (the full modulus ladder)
+    ones = mkckks.Message(value=np.ones(params.slots, np.complex128))
+    ct_one_top = enc.encrypt_msg(ones, pks["user0"])
+    cur, want_c = res, want * want
+    steps = 0
+    while cur.level >= 3:
+        ct1 = ev.drop_level(ct_one_top, ct_one_top.level - cur.level)
+        cur = ev.mul_relin_new(cur, ct1, rlk)
+        steps += 1
+    e = log2err(dec.decrypt(cur, sks).value, want_c)
+    chain_bound = bound + math.log2(1 + steps)
+    out[f"{tag}_chain_levels"] = steps + 1
+    out[f"{tag}_chain_log2_err"] = round(e, 1)
+    out[f"{tag}_chain_ok"] = bool(e <= chain_bound)
+    out[f"{tag}_matrix_ok"] = bool(
+        out[f"{tag}_rotate_ok"] and out[f"{tag}_conj_ok"]
+        and out[f"{tag}_hoisted_bitident"] and out[f"{tag}_chain_ok"])
+    return out
 
 
 def oracle_cross_check() -> dict:
@@ -248,8 +344,15 @@ def main():
         checks.update(ckks_correctness(parties))
         checks.update(bfv_correctness())
         checks.update(oracle_cross_check())
+        if os.environ.get("BENCH_OPMATRIX", "1") == "1":
+            checks.update(op_matrix("PN15QP880", parties))
+            checks.update(op_matrix("PN14QP439", 4))
+            checks.update(bfv_correctness(4))
         correct = bool(checks.get("ckks_ok") and checks.get("bfv_exact")
-                       and checks.get("oracle_ok", True))
+                       and checks.get("oracle_ok", True)
+                       and checks.get("pn15qp880_matrix_ok", True)
+                       and checks.get("pn14qp439_matrix_ok", True)
+                       and checks.get("bfv_exact_4party", True))
     else:
         correct = None
 

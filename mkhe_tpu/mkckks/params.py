@@ -58,7 +58,8 @@ def new_parameters(logn: int, logslots: int, q0_bits: float,
                    level_bits: float, levels: int, scale: float,
                    gamma: int = 2, q0_count: int = 2,
                    limbs_per_level: int = 2,
-                   p_bits: float = 28.4, p_count: int = 2) -> Parameters:
+                   p_bits: float = 28.4, p_count: int = 2,
+                   unsafe_skip_noise_guard: bool = False) -> Parameters:
     """Build a CKKS parameter set: q0_count primes ~q0_bits for the base
     modulus, `levels` rescaling levels of limbs_per_level primes each
     (their product ~ scale), and p_count special primes.
@@ -102,7 +103,9 @@ def new_parameters(logn: int, logslots: int, q0_bits: float,
     p = ntt_primes(logn, p_bits, p_count, skip=skip)
     _distinct(q0, lv, p)
     q_moduli = tuple(q0) + tuple(lv)
-    rl = mkrlwe.new_parameters(logn, q_moduli, tuple(p), gamma=gamma)
+    rl = mkrlwe.new_parameters(
+        logn, q_moduli, tuple(p), gamma=gamma,
+        unsafe_skip_noise_guard=unsafe_skip_noise_guard)
     return Parameters(rlwe=rl, logslots=logslots, scale=scale)
 
 

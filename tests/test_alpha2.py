@@ -89,3 +89,39 @@ def test_alpha4_rejected():
         mkckks.new_parameters(
             9, 8, q0_bits=28.9, level_bits=20.0, levels=3,
             scale=2.0 ** 40, p_bits=28.0, p_count=4, gamma=1)
+
+
+def test_alpha4_noise_demonstrated():
+    """Demonstrate (not just assert) the guard's claim: with alpha=4
+    digits (B ~ 2^98) and P ~ 2^112, B^2/P ~ 2^84 >> q of t-path noise
+    destroys the plaintext — the same pipeline that succeeds at alpha=2
+    (test_mul_relin_alpha2) decrypts garbage at alpha=4. Reference
+    machinery being generalized: basis_extension.go:368-535."""
+    params = mkckks.new_parameters(
+        9, 8, q0_bits=28.9, level_bits=20.0, levels=3,
+        scale=2.0 ** 40, p_bits=28.0, p_count=4, gamma=1,
+        unsafe_skip_noise_guard=True)
+    assert params.rlwe.alpha == 4
+    kgen = mkrlwe.KeyGenerator(params.rlwe, seed=71)
+    sk_set = mkrlwe.SecretKeySet()
+    rlk_set = mkrlwe.RelinearizationKeySet()
+    pks = {}
+    for uid in ("user0", "user1"):
+        sk, pk = kgen.gen_key_pair(uid)
+        sk_set.add(sk)
+        rlk_set.add(kgen.gen_relinearization_key(
+            sk, kgen.gen_secret_key(uid)))
+        pks[uid] = pk
+    enc = mkckks.Encryptor(params, seed=72)
+    dec = mkckks.Decryptor(params)
+    ev = mkckks.Evaluator(params)
+    m0 = _msg(params, 0.2, 0.5)
+    m1 = _msg(params, 0.2, 0.5)
+    ct0 = enc.encrypt_msg(m0, pks["user0"])
+    ct1 = enc.encrypt_msg(m1, pks["user1"])
+    out = dec.decrypt(ev.mul_relin_new(ct0, ct1, rlk_set), sk_set,
+                      exact=True)
+    err = float(np.max(np.abs(np.asarray(out.value) - m0.value * m1.value)))
+    # the product's magnitude is < 0.25; a correct mult would be within
+    # 2^-20 of it. Noise B^2/P blows it up by tens of bits.
+    assert err > 1e3, f"alpha=4 noise unexpectedly small: {err}"
