@@ -123,17 +123,23 @@ def mul_and_relin_bfv(params: Parameters, ct0r: Ciphertext,
         tensor.append(acc)
     out_arr = bfv_basis.quantize(params, jnp.stack(tensor))
 
-    # out_j += Ext(ct1r_j, x)
-    z1 = ksw.external_product(rp, dec1, x, level)
+    # out_j += Ext(ct1r_j, x); t = Ext(ct0r_i, y) — one batched
+    # iNTT+ModDown serves both (poly-wise, bit-identical)
+    z1_ntt = ksw.external_product_ntt(rp, dec1, x, level, lazy=True)
+    t_ntt = ksw.external_product_ntt(rp, dec0, y, level, lazy=True)
+    k1 = len(ids1)
+    zt = ksw.mod_down_qp(rp, jnp.concatenate([z1_ntt, t_ntt]), level)
+    z1, t = zt[:k1], zt[k1:]
     out_arr = out_arr.at[1 + sel1].set(ring_q.add(out_arr[1 + sel1], z1))
 
-    # t_i = Ext(ct0r_i, y); standard Q-basis fixups with v_i and u
-    t = ksw.external_product(rp, dec0, y, level)
+    # Q-basis fixups with v_i and u, again one batched ModDown
     dec_t = ksw.decompose(rp, t, level)
-    v_sum = ksw.mod_down_qp(
-        rp, ksw._sum_parties_ntt(rp, dec_t, v_keys, level), level)
-    out_arr = out_arr.at[0].set(ring_q.add(out_arr[0], v_sum))
-    zu = ksw.external_product(rp, dec_t, u_key, level)
-    out_arr = out_arr.at[1 + sel0].set(ring_q.add(out_arr[1 + sel0], zu))
+    v_ntt = ksw._sum_parties_ntt(rp, dec_t, v_keys, level, lazy=True)
+    zu_ntt = ksw.external_product_ntt(rp, dec_t, u_key, level, lazy=True)
+    vz = ksw.mod_down_qp(
+        rp, jnp.concatenate([v_ntt[None], zu_ntt]), level)
+    out_arr = out_arr.at[0].set(ring_q.add(out_arr[0], vz[0]))
+    out_arr = out_arr.at[1 + sel0].set(
+        ring_q.add(out_arr[1 + sel0], vz[1:]))
 
     return Ciphertext(ids=ids, data=out_arr)

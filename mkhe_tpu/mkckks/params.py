@@ -54,20 +54,13 @@ def _distinct(*groups):
             seen.add(q)
 
 
-def new_parameters(logn: int, logslots: int, q0_bits: float,
-                   level_bits: float, levels: int, scale: float,
-                   gamma: int = 2, q0_count: int = 2,
-                   limbs_per_level: int = 2,
-                   p_bits: float = 28.4, p_count: int = 2,
-                   unsafe_skip_noise_guard: bool = False) -> Parameters:
-    """Build a CKKS parameter set: q0_count primes ~q0_bits for the base
-    modulus, `levels` rescaling levels of limbs_per_level primes each
-    (their product ~ scale), and p_count special primes.
-
-    With p_count=4 half-width P primes and gamma=2, the gadget digit spans
-    alpha=2 limbs (~a reference-width digit) — the faithful analog of the
-    reference's PCount=2 full-width configuration, and half the digit
-    count of p_count=2."""
+def select_moduli(logn: int, q0_bits: float, level_bits: float,
+                  levels: int, q0_count: int = 2,
+                  limbs_per_level: int = 2, p_bits: float = 28.4,
+                  p_count: int = 2):
+    """The prime-selection half of new_parameters: returns
+    (q_moduli, p_moduli) without building rings/CRS (used by fast
+    security-budget tests and tooling)."""
     q0 = ntt_primes(logn, q0_bits, q0_count)
     if limbs_per_level == 2:
         # Balance each level's prime pair so its product stays ~scale:
@@ -102,9 +95,28 @@ def new_parameters(logn: int, logslots: int, q0_bits: float,
         skip += q0_count
     p = ntt_primes(logn, p_bits, p_count, skip=skip)
     _distinct(q0, lv, p)
-    q_moduli = tuple(q0) + tuple(lv)
+    return tuple(q0) + tuple(lv), tuple(p)
+
+
+def new_parameters(logn: int, logslots: int, q0_bits: float,
+                   level_bits: float, levels: int, scale: float,
+                   gamma: int = 2, q0_count: int = 2,
+                   limbs_per_level: int = 2,
+                   p_bits: float = 28.4, p_count: int = 2,
+                   unsafe_skip_noise_guard: bool = False) -> Parameters:
+    """Build a CKKS parameter set: q0_count primes ~q0_bits for the base
+    modulus, `levels` rescaling levels of limbs_per_level primes each
+    (their product ~ scale), and p_count special primes.
+
+    With p_count=4 half-width P primes and gamma=2, the gadget digit spans
+    alpha=2 limbs (~a reference-width digit) — the faithful analog of the
+    reference's PCount=2 full-width configuration, and half the digit
+    count of p_count=2."""
+    q_moduli, p = select_moduli(logn, q0_bits, level_bits, levels,
+                                q0_count, limbs_per_level, p_bits,
+                                p_count)
     rl = mkrlwe.new_parameters(
-        logn, q_moduli, tuple(p), gamma=gamma,
+        logn, q_moduli, p, gamma=gamma,
         unsafe_skip_noise_guard=unsafe_skip_noise_guard)
     return Parameters(rlwe=rl, logslots=logslots, scale=scale)
 

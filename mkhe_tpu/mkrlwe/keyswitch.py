@@ -232,13 +232,23 @@ def mul_and_relin(params: Parameters, ct0: Ciphertext, ct1: Ciphertext,
     d0 = ct0.data[..., :level + 1, :]
     d1 = d0 if square else ct1.data[..., :level + 1, :]
 
-    dec0 = (slice_digits(params, h0.digits, level) if h0 is not None
-            else decompose(params, d0[1:], level))
-    if square and (h1 is None or h1 is h0 or h1.digits is dec0):
-        dec1 = dec0
+    if (h0 is None and h1 is None and not square
+            and d0.shape == d1.shape):
+        # distinct operands: decompose both in ONE fused pass (one
+        # Pallas launch over 2k parties instead of two over k)
+        both = decompose(
+            params, jnp.concatenate([d0[1:], d1[1:]]), level)
+        k0 = d0.shape[0] - 1
+        dec0, dec1 = both[:k0], both[k0:]
     else:
-        dec1 = (slice_digits(params, h1.digits, level) if h1 is not None
-                else decompose(params, d1[1:], level))
+        dec0 = (slice_digits(params, h0.digits, level) if h0 is not None
+                else decompose(params, d0[1:], level))
+        if square and (h1 is None or h1 is h0 or h1.digits is dec0):
+            dec1 = dec0
+        else:
+            dec1 = (slice_digits(params, h1.digits, level)
+                    if h1 is not None
+                    else decompose(params, d1[1:], level))
 
     b_all, d_all, v_all = rlk_stacked  # each (k_union, beta, Lqp, N)
     sel0 = np.array([ids.index(i) for i in ids0])
@@ -271,20 +281,27 @@ def mul_and_relin(params: Parameters, ct0: Ciphertext, ct1: Ciphertext,
         out[1 + j] = acc
     out_arr = ring_q.intt(jnp.stack(out))
 
-    # out_j += Ext(ct1_j, x)   (batched over ids1)
-    z1 = external_product(params, dec1, x, level)  # (k1, Lq, N)
+    # out_j += Ext(ct1_j, x); t_i = Ext(ct0_i, y). The two external
+    # products share ONE batched iNTT+ModDown pass (mod_down is
+    # poly-wise, so batching is bit-identical to separate calls).
+    z1_ntt = external_product_ntt(params, dec1, x, level, lazy=True)
+    t_ntt = external_product_ntt(params, dec0, y, level, lazy=True)
+    k1 = len(ids1)
+    zt = mod_down_qp(params, jnp.concatenate([z1_ntt, t_ntt]), level)
+    z1, t = zt[:k1], zt[k1:]                       # (k1|k0, Lq, N)
     out_arr = out_arr.at[1 + sel1].set(
         ring_q.add(out_arr[1 + sel1], z1))
 
-    # t_i = Ext(ct0_i, y); out_0 += Ext(Dec t_i, v_i); out_i += Ext(Dec t_i, u)
-    t = external_product(params, dec0, y, level)   # (k0, Lq, N)
+    # out_0 += Ext(Dec t_i, v_i); out_i += Ext(Dec t_i, u) — again one
+    # batched iNTT+ModDown for the v-sum and the u products.
     dec_t = decompose(params, t, level)            # (k0, beta, Lqp, N)
-    v_sum = mod_down_qp(
-        params, _sum_parties_ntt(params, dec_t, v_keys, level, lazy=True), level)
-    out_arr = out_arr.at[0].set(ring_q.add(out_arr[0], v_sum))
-    zu = external_product(params, dec_t, u_key, level)
+    v_ntt = _sum_parties_ntt(params, dec_t, v_keys, level, lazy=True)
+    zu_ntt = external_product_ntt(params, dec_t, u_key, level, lazy=True)
+    vz = mod_down_qp(
+        params, jnp.concatenate([v_ntt[None], zu_ntt]), level)
+    out_arr = out_arr.at[0].set(ring_q.add(out_arr[0], vz[0]))
     out_arr = out_arr.at[1 + sel0].set(
-        ring_q.add(out_arr[1 + sel0], zu))
+        ring_q.add(out_arr[1 + sel0], vz[1:]))
 
     return Ciphertext(ids=ids, data=out_arr)
 
@@ -398,10 +415,14 @@ def rotate_with(params: Parameters, ct: Ciphertext, rtk_stacked: jax.Array,
            else decompose(params, ct.data[1:], level))
     rks = slice_swk(params, rtk_stacked, level)
 
-    c0 = ring_q.add(ct.data[0], mod_down_qp(
-        params, _sum_parties_ntt(params, dec, rks, level, lazy=True), level))
-    ci = external_product(params, dec, a_crs, level)
-    out = jnp.concatenate([c0[None], ci], axis=0)
+    # one batched iNTT+ModDown for the c0 correction and the k per-party
+    # external products (poly-wise, bit-identical to separate calls)
+    s_ntt = _sum_parties_ntt(params, dec, rks, level, lazy=True)
+    ci_ntt = external_product_ntt(params, dec, a_crs, level, lazy=True)
+    both = mod_down_qp(
+        params, jnp.concatenate([s_ntt[None], ci_ntt]), level)
+    c0 = ring_q.add(ct.data[0], both[0])
+    out = jnp.concatenate([c0[None], both[1:]], axis=0)
 
     g = jnp.take(out, perm_src, axis=-1)
     out = jnp.where(perm_sign[None, :] == 1, ring_q.neg(g), g)
@@ -458,10 +479,13 @@ def rotate_hoisted_batched(params: Parameters, ct: Ciphertext,
 
     s = _sum_parties_ntt(params, dec[None], rks, level,
                          lazy=True)                       # (R, Lqp, N)
-    c0 = ring_q.add(ct.data[0][None],
-                    mod_down_qp(params, s, level))        # (R, Lq, N)
-    ci = external_product(params, dec[None], a_multi[:, None], level)
-    out = jnp.concatenate([c0[:, None], ci], axis=1)      # (R, k+1, Lq, N)
+    ci_ntt = external_product_ntt(params, dec[None], a_multi[:, None],
+                                  level, lazy=True)       # (R, k, Lqp, N)
+    both = mod_down_qp(
+        params, jnp.concatenate([s[:, None], ci_ntt], axis=1), level)
+    c0 = ring_q.add(ct.data[0][None], both[:, 0])         # (R, Lq, N)
+    out = jnp.concatenate([c0[:, None], both[:, 1:]],
+                          axis=1)                         # (R, k+1, Lq, N)
     g = jnp.take_along_axis(out, src[:, None, None, :], axis=-1)
     return jnp.where(sign[:, None, None, :] == 1, ring_q.neg(g), g)
 
@@ -476,8 +500,10 @@ def conjugate(params: Parameters, ct: Ciphertext,
     dec = decompose(params, permuted[1:], level)
     cks = slice_swk(params, cjk_stacked, level)
     a = params.crs_at(-2, level)
-    c0 = ring_q.add(permuted[0], mod_down_qp(
-        params, _sum_parties_ntt(params, dec, cks, level, lazy=True), level))
-    ci = external_product(params, dec, a, level)
+    s_ntt = _sum_parties_ntt(params, dec, cks, level, lazy=True)
+    ci_ntt = external_product_ntt(params, dec, a, level, lazy=True)
+    both = mod_down_qp(
+        params, jnp.concatenate([s_ntt[None], ci_ntt]), level)
+    c0 = ring_q.add(permuted[0], both[0])
     return Ciphertext(ids=ct.ids,
-                      data=jnp.concatenate([c0[None], ci], axis=0))
+                      data=jnp.concatenate([c0[None], both[1:]], axis=0))

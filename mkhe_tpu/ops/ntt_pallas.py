@@ -33,15 +33,6 @@ U32 = jnp.uint32
 LIMB_TILE = 8
 
 
-SMALL_GROUP = 4096  # the small-h (h < 128) roll stages never pair lanes
-#                across a 128-lane block, so they are processed in
-#                SMALL_GROUP-lane groups: the rolls, twiddle repeats and
-#                select masks then materialize (8, SMALL_GROUP) temporaries
-#                instead of (8, n) ones — at logN=15 the full-width form's
-#                ~8 live 1 MB temporaries blow past VMEM and the kernel
-#                slides to 2.4 us/limb (vs 1.0 at logN=14); grouping caps
-#                the working set independently of n.
-
 SLICE_H = 128  # stages with half-block h >= SLICE_H use the sliced
 #                formulation: butterflies pair two CONTIGUOUS aligned lane
 #                slices (top/bottom halves of each 2h-block), so the
@@ -86,62 +77,50 @@ def _fwd_stages(a, n, logn, wpack_ref, wpack_sh_ref, twist_ref,
                             *mm.shoup_split(twist_sh_ref[:]), q)
     off = 0
     h = n >> 1
-    while h >= SLICE_H:
-        # natural-width slices: stage h runs n/(2h) butterfly ops of lane
-        # width h (not n/128 fixed 128-lane chunk ops — at logN=15 the
-        # 256-chunk SSA working set overwhelmed the register allocator
-        # and the kernel slid to ~2.4 us/limb; wide slices keep the live
-        # state as a handful of values Mosaic tiles internally)
-        tw = wpack_ref[:, off:off + h]
-        sh0, sh1 = mm.shoup_split(wpack_sh_ref[:, off:off + h])
-        parts = []
-        for blk in range(n // (2 * h)):
-            base = blk * 2 * h
-            t = a[:, base:base + h]
-            b = a[:, base + h:base + 2 * h]
-            parts.append(mm.csub(t + b, q4))                     # < 4q
-            parts.append(mm.shoup_mul_sloppy(
-                t + (q4 - b), tw, sh0, sh1, q))                  # < 4q
-        a = parts[0] if len(parts) == 1 else jnp.concatenate(
-            parts, axis=1)
-        off += h
-        h >>= 1
+    if h >= SLICE_H:
+        chunks = [a[:, c:c + SLICE_H] for c in range(0, n, SLICE_H)]
+        while h >= SLICE_H:
+            h128 = h // SLICE_H
+            tws = [(wpack_ref[:, off + j * SLICE_H:
+                              off + (j + 1) * SLICE_H],
+                    *mm.shoup_split(
+                        wpack_sh_ref[:, off + j * SLICE_H:
+                                     off + (j + 1) * SLICE_H]))
+                   for j in range(h128)]
+            for blk in range(n // (2 * h)):
+                base = blk * 2 * h128
+                for j in range(h128):
+                    t = chunks[base + j]
+                    b = chunks[base + h128 + j]
+                    tw, sh0, sh1 = tws[j]
+                    chunks[base + j] = mm.csub(t + b, q4)        # < 4q
+                    chunks[base + h128 + j] = mm.shoup_mul_sloppy(
+                        t + (q4 - b), tw, sh0, sh1, q)           # < 4q
+            off += h
+            h >>= 1
+        a = jnp.concatenate(chunks, axis=1)
     if head_only:
         out_ref[0] = a
         return
-    # small-h stages, processed per lane group (see SMALL_GROUP): stage h
-    # pairs (j, j+h) with j & h == 0 — both lanes share a 128-lane block,
-    # so group-local rolls see exactly the same partners (wrapped lanes
-    # are only produced, never consumed, by the select) and the twiddle
-    # pattern (period 2h <= 256 lanes, group-aligned) is group-invariant.
-    grp = min(n, SMALL_GROUP)
-    h_top = h
-    off_top = off
-    lane = jax.lax.broadcasted_iota(jnp.int32, (LIMB_TILE, grp), 1)
-    for g0 in range(0, n, grp):
-        a_g = a[:, g0:g0 + grp]
-        h = h_top
-        off = off_top
-        while h >= 1:
-            p = pltpu.roll(a_g, grp - h, 1)   # p[j] = a[j+h]
-            mn = pltpu.roll(a_g, h, 1)        # mn[j] = a[j-h]
-            first = (lane & h) == 0
-            top = mm.csub(a_g + p, q4)                # < 4q
-            diff = mn + (q4 - a_g)                    # < 8q < 2^32
-            if h == 1:
-                bot = mm.csub(diff, q4)       # last stage twiddle = 1
-            else:
-                sh0, sh1 = mm.shoup_split(wpack_sh_ref[:, off:off + h])
-                tw = pltpu.repeat(wpack_ref[:, off:off + h], grp // h,
-                                  axis=1)
-                tw0 = pltpu.repeat(sh0, grp // h, axis=1)
-                tw1 = pltpu.repeat(sh1, grp // h, axis=1)
-                bot = mm.shoup_mul_sloppy(diff, tw, tw0, tw1, q)  # < 4q
-            a_g = jnp.where(first, top, bot)
-            off += h
-            h >>= 1
-        out_ref[0, :, g0:g0 + grp] = mm.csub(
-            mm.csub(a_g, q * jnp.uint32(2)), q)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (LIMB_TILE, n), 1)
+    while h >= 1:
+        p = pltpu.roll(a, n - h, 1)   # p[j] = a[j+h]
+        mn = pltpu.roll(a, h, 1)      # mn[j] = a[j-h]
+        first = (lane & h) == 0
+        top = mm.csub(a + p, q4)                  # < 4q
+        diff = mn + (q4 - a)                      # < 8q < 2^32
+        if h == 1:
+            bot = mm.csub(diff, q4)               # last stage twiddle = 1
+        else:
+            sh0, sh1 = mm.shoup_split(wpack_sh_ref[:, off:off + h])
+            tw = pltpu.repeat(wpack_ref[:, off:off + h], n // h, axis=1)
+            tw0 = pltpu.repeat(sh0, n // h, axis=1)
+            tw1 = pltpu.repeat(sh1, n // h, axis=1)
+            bot = mm.shoup_mul_sloppy(diff, tw, tw0, tw1, q)  # < 4q
+        a = jnp.where(first, top, bot)
+        off += h
+        h >>= 1
+    out_ref[0] = mm.csub(mm.csub(a, q * jnp.uint32(2)), q)
 
 
 def _fwd_kernel(n, logn, x_ref, wpack_ref, wpack_sh_ref, twist_ref,
@@ -167,6 +146,8 @@ def _inv_kernel(n, logn, x_ref, iwpack_ref, iwpack_sh_ref, untwist_ref,
     a = x_ref[0]
     q = q_ref[:]
     q4 = q * jnp.uint32(4)
+    if reduce_input and not tail_done:
+        a = mm.barrett_reduce(a, q, bar_ref[:])
     # DIT stages: h = 1, 2, ..., n/2; stage s has packed offset matching
     # the fwd stage with the same h.
     offs = {}
@@ -175,61 +156,53 @@ def _inv_kernel(n, logn, x_ref, iwpack_ref, iwpack_sh_ref, untwist_ref,
         offs[n >> s] = off
         off += n >> s
     h = 128 if tail_done else 1
-    if reduce_input and tail_done:
-        a = mm.barrett_reduce(a, q, bar_ref[:])
     if not tail_done:
-        # small-h stages per lane group (see SMALL_GROUP / _fwd_stages:
-        # h < 128 pairings never cross a 128-lane block, and twiddle
-        # patterns are group-invariant) — caps live temporaries at
-        # (8, SMALL_GROUP) regardless of n.
-        grp = min(n, SMALL_GROUP)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (LIMB_TILE, grp), 1)
-        h0 = h
-        groups = []
-        for g0 in range(0, n, grp):
-            a_g = a[:, g0:g0 + grp]
-            if reduce_input:
-                a_g = mm.barrett_reduce(a_g, q, bar_ref[:])
-            h = h0
-            while h < min(n, SLICE_H):
-                p = pltpu.roll(a_g, grp - h, 1)
-                mn = pltpu.roll(a_g, h, 1)
-                first = (lane & h) == 0
-                operand = jnp.where(first, p, a_g)
-                if h == 1:
-                    v = operand                   # twiddle = 1, < 4q
-                else:
-                    o = offs[h]
-                    sh0, sh1 = mm.shoup_split(iwpack_sh_ref[:, o:o + h])
-                    tw = pltpu.repeat(iwpack_ref[:, o:o + h], grp // h,
-                                      axis=1)
-                    tw0 = pltpu.repeat(sh0, grp // h, axis=1)
-                    tw1 = pltpu.repeat(sh1, grp // h, axis=1)
-                    v = mm.shoup_mul_sloppy(operand, tw, tw0, tw1,
-                                            q)    # < 4q
-                top = mm.csub(a_g + v, q4)        # < 4q
-                bot = mm.csub(mn + (q4 - v), q4)  # < 4q
-                a_g = jnp.where(first, top, bot)
-                h *= 2
-            groups.append(a_g)
-        a = groups[0] if len(groups) == 1 else jnp.concatenate(
-            groups, axis=1)
-    # big-h sliced stages with natural-width slices (see _fwd_stages)
-    while h < n:
-        o = offs[h]
-        tw = iwpack_ref[:, o:o + h]
-        sh0, sh1 = mm.shoup_split(iwpack_sh_ref[:, o:o + h])
-        parts = []
-        for blk in range(n // (2 * h)):
-            base = blk * 2 * h
-            t = a[:, base:base + h]
-            b = a[:, base + h:base + 2 * h]
-            v = mm.shoup_mul_sloppy(b, tw, sh0, sh1, q)          # < 4q
-            parts.append(mm.csub(t + v, q4))                     # < 4q
-            parts.append(mm.csub(t + (q4 - v), q4))              # < 4q
-        a = parts[0] if len(parts) == 1 else jnp.concatenate(
-            parts, axis=1)
-        h *= 2
+        lane = jax.lax.broadcasted_iota(jnp.int32, (LIMB_TILE, n), 1)
+        while h < min(n, SLICE_H):
+            p = pltpu.roll(a, n - h, 1)
+            mn = pltpu.roll(a, h, 1)
+            first = (lane & h) == 0
+            operand = jnp.where(first, p, a)
+            if h == 1:
+                v = operand                       # twiddle = 1, < 4q
+            else:
+                o = offs[h]
+                sh0, sh1 = mm.shoup_split(iwpack_sh_ref[:, o:o + h])
+                tw = pltpu.repeat(iwpack_ref[:, o:o + h], n // h, axis=1)
+                tw0 = pltpu.repeat(sh0, n // h, axis=1)
+                tw1 = pltpu.repeat(sh1, n // h, axis=1)
+                v = mm.shoup_mul_sloppy(operand, tw, tw0, tw1, q)  # < 4q
+            top = mm.csub(a + v, q4)              # < 4q
+            bot = mm.csub(mn + (q4 - v), q4)      # < 4q
+            a = jnp.where(first, top, bot)
+            h *= 2
+    # big-h sliced stages (see _fwd_kernel / SLICE_H): maintain the state
+    # as 128-lane chunks; at stage h the 2h-block pairs chunk j with chunk
+    # j + h/128, and the twiddle for pair j is the static 128-lane slice
+    # iwpack[off + 128 j : off + 128 (j+1)] — identical for every block.
+    if h < n:
+        chunks = [a[:, c:c + SLICE_H] for c in range(0, n, SLICE_H)]
+        while h < n:
+            o = offs[h]
+            h128 = h // SLICE_H
+            tws = [(iwpack_ref[:, o + j * SLICE_H:
+                               o + (j + 1) * SLICE_H],
+                    *mm.shoup_split(
+                        iwpack_sh_ref[:, o + j * SLICE_H:
+                                      o + (j + 1) * SLICE_H]))
+                   for j in range(h128)]
+            for blk in range(n // (2 * h)):
+                base = blk * 2 * h128
+                for j in range(h128):
+                    t = chunks[base + j]
+                    b = chunks[base + h128 + j]
+                    tw, sh0, sh1 = tws[j]
+                    v = mm.shoup_mul_sloppy(b, tw, sh0, sh1, q)  # < 4q
+                    chunks[base + j] = mm.csub(t + v, q4)      # < 4q
+                    chunks[base + h128 + j] = mm.csub(
+                        t + (q4 - v), q4)                      # < 4q
+            h *= 2
+        a = jnp.concatenate(chunks, axis=1)
     # untwist by psi^{-j}/N, restore canonical form
     x = mm.shoup_mul_sloppy(a, untwist_ref[:],
                             *mm.shoup_split(untwist_sh_ref[:]), q)

@@ -42,6 +42,11 @@ def _msg(params):
 
 @pytest.mark.parametrize("ndev", [2, 8])
 def test_coeff_sharded_mult_bit_identical(ctx, ndev):
+    if ndev == 8 and not __import__("os").environ.get("RUN_SLOW"):
+        import pytest
+        pytest.skip("C=8 variant is RUN_SLOW (C=2 covers the machinery; "
+                    "8-dev coeff sharding is certified by the driver's "
+                    "dryrun_multichip)")
     params = ctx["params"]
     ct0 = ctx["enc"].encrypt_msg(_msg(params), ctx["pk"].get("alice"))
     ct1 = ctx["enc"].encrypt_msg(_msg(params), ctx["pk"].get("bob"))

@@ -72,6 +72,9 @@ def test_fused_ckks_pipeline_bit_identical(ckks_ctx):
                                   np.asarray(staged2.ct.data))
 
 
+
+@pytest.mark.skipif(not __import__("os").environ.get("RUN_SLOW"),
+                    reason="BFV fused pipeline: RUN_SLOW tier (fuse machinery covered default by the CKKS fused pipeline test)")
 def test_fused_bfv_pipeline_bit_identical():
     from mkhe_tpu.ops.primes import ntt_primes
     logn = 9

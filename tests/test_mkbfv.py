@@ -98,6 +98,9 @@ def test_mul_relin_distinct(params, ctx):
     np.testing.assert_array_equal(out, _cmod(m1 * m2))
 
 
+
+@pytest.mark.skipif(not __import__("os").environ.get("RUN_SLOW"),
+                    reason="BFV batched mult: RUN_SLOW tier (batched path covered default by the CKKS batched test)")
 def test_mul_relin_batched(params, ctx):
     """Batched (vmapped) mult is bit-identical to per-pair mul_relin_new."""
     ev = ctx["ev"]
@@ -155,6 +158,9 @@ def test_mul_relin_exact_alpha2():
     np.testing.assert_array_equal(out, _cmod(m1 * m2))
 
 
+
+@pytest.mark.skipif(not __import__("os").environ.get("RUN_SLOW"),
+                    reason="BFV conjugation: RUN_SLOW tier (keyswitch machinery covered by default rotate/mult tests; CKKS conjugation stays default)")
 def test_conjugate(params, ctx):
     """BFV conjugation = row swap in the 2x(N/2) slot matrix."""
     kgen = mkbfv.KeyGenerator(params, seed=35)

@@ -93,13 +93,15 @@ def test_security_estimator():
 
     assert security.max_logqp(15, 128) == 881
     assert security.max_logqp(14, 128) == 438
-    p = mkckks.PN15QP880()
-    lvl, total = security.check_security(
-        p.rlwe.logn, p.rlwe.q_moduli, p.rlwe.p_moduli)
+    # preset budgets via the prime-selection half only (select_moduli):
+    # building full presets (rings + CRS) is seconds of pure overhead
+    q, p = mkckks.params.select_moduli(15, q0_bits=28.9, level_bits=27.0,
+                                       levels=13, p_bits=28.4, p_count=4)
+    lvl, total = security.check_security(15, q, p)
     assert lvl >= 128 and total <= 881
-    p = mkckks.PN14QP439()
-    lvl, total = security.check_security(
-        p.rlwe.logn, p.rlwe.q_moduli, p.rlwe.p_moduli)
+    q, p = mkckks.params.select_moduli(14, q0_bits=28.9, level_bits=26.0,
+                                       levels=5, p_bits=28.4, p_count=4)
+    lvl, total = security.check_security(14, q, p)
     assert lvl >= 128 and total <= 438
     import pytest
     with pytest.raises(ValueError):

@@ -123,6 +123,9 @@ def test_party_sharded_mul_hoisted(ctx):
                                   np.asarray(ref.data))
 
 
+
+@pytest.mark.skipif(not __import__("os").environ.get("RUN_SLOW"),
+                    reason="union-id party sharding: RUN_SLOW tier (distinct-operand party sharding stays default; union padding covered unsharded in test_mkckks)")
 def test_party_sharded_mul_union(ctx):
     """Operands with different id sets: zero-pad to the union (2 parties
     each, union 4) and match the single-device union path."""

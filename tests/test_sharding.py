@@ -44,6 +44,9 @@ def test_devices_available():
         "conftest must provide 8 virtual CPU devices"
 
 
+
+@pytest.mark.skipif(not __import__("os").environ.get("RUN_SLOW"),
+                    reason="GSPMD full-mult bit-identity: compile-heavy on CPU; RUN_SLOW tier (GSPMD NTT coverage stays default via test_sharded_ntt_matches, and the driver dry-runs this path in __graft_entry__)")
 def test_sharded_mul_matches_unsharded(ctx):
     params, ct, rlk = ctx["params"], ctx["ct"], ctx["rlk"]
     level = ct.level
