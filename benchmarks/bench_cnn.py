@@ -118,6 +118,38 @@ def main():
     print(json.dumps({"metric": "cnn_fused_total_ms",
                       "value": round(best, 1), "unit": "ms"}), flush=True)
 
+    # chained-k device time: the wall number above carries one relay
+    # dispatch + fetch round trip (~tens of ms); the fori_loop slope
+    # isolates the on-device inference time (bench.py protocol)
+    import dataclasses
+    from mkhe_tpu import fuse as fuse_mod
+
+    def chain(cts_, out_):
+        img = cts_[0]
+        w = out_.ct.data[0, 0, 0]
+        new_img = dataclasses.replace(
+            img, ct=dataclasses.replace(img.ct, data=img.ct.data ^ w))
+        return (new_img,) + tuple(cts_[1:])
+
+    def pipe2(ev2, keys, ct_i, ct_kk, ct_f1, ct_f2, cb1, cb2, msk):
+        return cnn._pipeline(ev2, keys.rlk, keys.rtk, ct_i, ct_kk, ct_f1,
+                             ct_f2, cb1, cb2, msk, params.scale)
+    run_k, kargs = fuse_mod.fuse_chained(
+        params, pipe2,
+        (ct_img, ct_k, ct_fc1, ct_fc2, ct_b1, ct_b2, pt_mask),
+        chain, rlk_set=rlk, rtk_set=rtk)
+
+    def t_of(k):
+        t0 = time.perf_counter()
+        o = run_k(*kargs, k)
+        _ = int(o.ct.data[0, 0, 0])
+        return (time.perf_counter() - t0) * 1e3
+    t_of(0)
+    t_of(5)  # compile both
+    dev = min((t_of(5) - t_of(0)) / 5 for _ in range(3))
+    print(json.dumps({"metric": "cnn_fused_device_ms",
+                      "value": round(dev, 1), "unit": "ms"}), flush=True)
+
 
 if __name__ == "__main__":
     main()

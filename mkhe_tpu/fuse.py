@@ -148,3 +148,43 @@ def fuse(params, pipeline, cts, rlk_set=None, rtk_set=None, cjk_set=None):
         return pipeline(_make_ev(p_arg), keys, *cts)
 
     return _run, (p_arg, tables, tuple(cts))
+
+
+def fuse_chained(params, pipeline, cts, chain, rlk_set=None,
+                 rtk_set=None, cjk_set=None):
+    """Like fuse(), but returns run_k(p_arg, tables, cts, k): the
+    pipeline executes k+1 times inside ONE jitted program, each
+    iteration's inputs derived from the previous output via
+    `chain(cts, out) -> cts` (a genuine data dependency, so XLA cannot
+    collapse the repeats). The (t(k2) - t(k1)) / (k2 - k1) slope then
+    isolates per-run DEVICE time from the relay dispatch/fetch round
+    trip — the same protocol as bench.py's headline (benchmarks)."""
+    import dataclasses as _dc
+
+    from . import mkbfv, mkckks
+
+    _fn, (p_arg, tables, cts_t) = fuse(params, pipeline, cts,
+                                       rlk_set=rlk_set, rtk_set=rtk_set,
+                                       cjk_set=cjk_set)
+    is_bfv = isinstance(params, mkbfv.Parameters)
+
+    def _make_ev(p_a):
+        if is_bfv:
+            return mkbfv.Evaluator(p_a)
+        return mkckks.Evaluator(_dc.replace(params, rlwe=p_a))
+
+    @jax.jit
+    def _run_k(p_a, tables_, cts_, k):
+        keys = _keys_ns(
+            _Replay(tables_["rlk"]) if "rlk" in tables_ else None,
+            _Replay(tables_["rtk"]) if "rtk" in tables_ else None,
+            _Replay(tables_["cjk"]) if "cjk" in tables_ else None)
+
+        def body(i, c):
+            out = pipeline(_make_ev(p_a), keys, *c)
+            return chain(c, out)
+
+        cts_f = jax.lax.fori_loop(0, k, body, tuple(cts_))
+        return pipeline(_make_ev(p_a), keys, *cts_f)
+
+    return _run_k, (p_arg, tables, cts_t)
