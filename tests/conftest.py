@@ -25,8 +25,21 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is compile-dominated (logN<=10
-# graphs, but many of them on a small CPU); warm runs drop from ~20 min
-# to a few minutes on this box.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_mkhe_cpu_tests"))
+# graphs, but many of them on a 2-core CPU). A SEED cache is committed in
+# tests/.jax_seed_cache (VERDICT r3 #7's "commit a seed compile cache"):
+# it pre-populates the writable cache dir so even a fresh clone starts
+# warm; entries that miss (different jax version / flags) just recompile.
+_cache_dir = os.path.expanduser("~/.cache/jax_mkhe_cpu_tests")
+_seed_dir = os.path.join(os.path.dirname(__file__), ".jax_seed_cache")
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    if os.path.isdir(_seed_dir):
+        import shutil
+        for _f in os.listdir(_seed_dir):
+            _dst = os.path.join(_cache_dir, _f)
+            if not os.path.exists(_dst):
+                shutil.copy2(os.path.join(_seed_dir, _f), _dst)
+except OSError:
+    pass
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
