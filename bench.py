@@ -339,14 +339,26 @@ def main():
         dt_ms = min(dt_ms, max((tk_ms - t1_ms) / (iters - 1), 1e-6))
 
     # ---- correctness gate at flagship parameters (after timing) ----------
+    # Drop the timing section's device buffers first: the gates build
+    # their own flagship key material (~1-2 GB per section), and keeping
+    # the bench keys alive alongside the op-matrix chain has crashed the
+    # TPU worker (OOM) — every section must start clean.
+    import gc
+    del args, r1, rk, b, d, v, rlk, pks, ct0, ct1, rct0, rct1
+    gc.collect()
     checks = {}
     if os.environ.get("BENCH_SKIP_CORRECTNESS") != "1":
         checks.update(ckks_correctness(parties))
+        gc.collect()
         checks.update(bfv_correctness())
+        gc.collect()
         checks.update(oracle_cross_check())
+        gc.collect()
         if os.environ.get("BENCH_OPMATRIX", "1") == "1":
             checks.update(op_matrix("PN15QP880", parties))
+            gc.collect()
             checks.update(op_matrix("PN14QP439", 4))
+            gc.collect()
             checks.update(bfv_correctness(4))
         correct = bool(checks.get("ckks_ok") and checks.get("bfv_exact")
                        and checks.get("oracle_ok", True)
