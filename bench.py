@@ -355,11 +355,40 @@ def main():
         checks.update(oracle_cross_check())
         gc.collect()
         if os.environ.get("BENCH_OPMATRIX", "1") == "1":
-            checks.update(op_matrix("PN15QP880", parties))
-            gc.collect()
-            checks.update(op_matrix("PN14QP439", 4))
-            gc.collect()
-            checks.update(bfv_correctness(4))
+            # each op-matrix section runs in its OWN process: a fresh TPU
+            # client with only that section's key material resident (the
+            # in-process chain crashed the TPU worker twice — the
+            # accumulated flagship key sets + per-level executables
+            # exhaust device memory)
+            import subprocess
+            here = os.path.dirname(os.path.abspath(__file__))
+            pre = ("import os, json; "
+                   "import jax; "
+                   "jax.config.update('jax_compilation_cache_dir', "
+                   "os.path.expanduser('~/.cache/jax_mkhe')); "
+                   "jax.config.update("
+                   "'jax_persistent_cache_min_compile_time_secs', 1.0); "
+                   "import sys; sys.path.insert(0, %r); " % here)
+            sections = [
+                pre + ("from bench import op_matrix; "
+                       "print(json.dumps(op_matrix('PN15QP880', %d)))"
+                       % parties),
+                pre + ("from bench import op_matrix; "
+                       "print(json.dumps(op_matrix('PN14QP439', 4)))"),
+                pre + ("from bench import bfv_correctness; "
+                       "print(json.dumps(bfv_correctness(4)))"),
+            ]
+            for code in sections:
+                try:
+                    r = subprocess.run(
+                        [sys.executable, "-c", code], capture_output=True,
+                        text=True, timeout=5400, cwd=here)
+                    checks.update(json.loads(
+                        r.stdout.strip().splitlines()[-1]))
+                except (subprocess.SubprocessError, ValueError,
+                        IndexError) as e:
+                    checks.setdefault("opmatrix_errors", []).append(
+                        str(e)[:200])
         correct = bool(checks.get("ckks_ok") and checks.get("bfv_exact")
                        and checks.get("oracle_ok", True)
                        and checks.get("pn15qp880_matrix_ok", True)
