@@ -198,7 +198,13 @@ def op_matrix(preset: str, parties: int) -> dict:
     out[f"{tag}_hoisted_bitident"] = bool(
         np.array_equal(np.asarray(res.ct.data), np.asarray(res_h.ct.data)))
     # level-exhausting chain: multiply by fresh encryptions of 1.0 down
-    # to level 1, rescaling at every level (the full modulus ladder)
+    # to level 1, rescaling at every level (the full modulus ladder).
+    # Drop the rotation/conjugation key material first — the chain
+    # compiles one mult graph per level, and sustained device pressure
+    # in one process has crashed the TPU worker (r4).
+    import gc
+    del rtk, cjk, res_h, h
+    gc.collect()
     ones = mkckks.Message(value=np.ones(params.slots, np.complex128))
     ct_one_top = enc.encrypt_msg(ones, pks["user0"])
     cur, want_c = res, want * want
