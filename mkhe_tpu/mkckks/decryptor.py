@@ -22,7 +22,11 @@ class Decryptor:
                           scale=ct.scale)
 
     def decrypt(self, ct: Ciphertext, sk_set: mkrlwe.SecretKeySet,
-                exact: bool = False) -> Message:
+                exact: bool | None = None) -> Message:
+        """Decrypt + decode. exact=None (default) lets decode pick the
+        safe per-level path: exact CRT at level <= 2, where the fast
+        2-limb float path cannot self-check |coeff| < q0*q1/2 (ADVICE
+        r4 #1); exact=False is an explicit opt-in to the fast path."""
         p = self.params
         pt = np.asarray(self._dec.decrypt(ct.ct, sk_set))
         moduli = p.rlwe.q_moduli[:ct.level + 1]

@@ -184,9 +184,20 @@ def _sum_parties_ntt(params: Parameters, digits: jax.Array, swks: jax.Array,
             for b_ in range(beta):
                 acc = mm.mul_accum_step(
                     acc, digits[..., i, b_, :, :], swks[..., i, b_, :, :])
-        r = _reduce_qp(acc, ring_qp)                    # < 2q
+        r = _reduce_qp(acc, ring_qp)        # < q + n_prod*q/8 (lazy)
+        # Lazy single-chunk return only when the worst-case bound
+        # q*(1 + n_prod/8) provably fits uint32 (the consumers —
+        # mod_down_qp's reduce_input forward-twist iNTT — absorb any
+        # u32, so the value itself is the only constraint): at the
+        # boundary (beta=16, k=4 -> n_prod=64) the bound is 9q, which
+        # wraps for primes in (2^28.83, 2^29) that ntt_primes allows
+        # (ADVICE r4 #4). The flagship presets (n_prod <= 56,
+        # q <= 2^28.9 -> 8q < 2^32) keep the lazy fast path.
         if lazy and k <= per_chunk:
-            return r
+            n_prod = (c1 - c0) * beta
+            q_max = max(ring_qp.moduli)   # static metadata, trace-safe
+            if q_max * (8 + n_prod) // 8 <= (1 << 32) - 1:
+                return r
         r = ring_qp.reduce(r)
         out = r if out is None else ring_qp.add(out, r)
     return out

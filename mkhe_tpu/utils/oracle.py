@@ -11,6 +11,7 @@ identical messages (VERDICT r3 Missing #1).
 from __future__ import annotations
 
 import functools
+import hashlib
 import json
 import os
 import subprocess
@@ -26,16 +27,30 @@ _SRC = os.path.join(os.path.dirname(__file__), os.pardir, "native",
 @functools.lru_cache(maxsize=1)
 def oracle_binary() -> str | None:
     """Compile ref_oracle.cpp (cached next to the source; tmp-dir and
-    None fallbacks mirror native/__init__.py)."""
+    None fallbacks mirror native/__init__.py).
+
+    Staleness is detected by a SOURCE HASH stored next to the binary,
+    not mtimes: git checkouts give source and binary identical mtimes,
+    so an mtime check can silently run an outdated committed binary as
+    the cross-validation ground truth (ADVICE r4 #5)."""
     src = os.path.abspath(_SRC)
     exe = os.path.join(os.path.dirname(src), "_ref_oracle")
     try:
-        if (not os.path.exists(exe)
-                or os.path.getmtime(exe) < os.path.getmtime(src)):
+        with open(src, "rb") as f:
+            src_hash = hashlib.sha256(f.read()).hexdigest()
+        hash_path = exe + ".sha256"
+        try:
+            with open(hash_path) as f:
+                have = f.read().strip()
+        except OSError:
+            have = ""
+        if not os.path.exists(exe) or have != src_hash:
             tmp = exe + f".build{os.getpid()}"
             subprocess.run(["g++", "-O3", "-std=c++17", "-o", tmp, src],
                            check=True, capture_output=True, timeout=180)
             os.replace(tmp, exe)
+            with open(hash_path, "w") as f:
+                f.write(src_hash)
         return exe
     except (OSError, subprocess.SubprocessError):
         try:

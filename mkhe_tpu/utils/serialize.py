@@ -43,13 +43,30 @@ def load_secret_key(path: str) -> mkrlwe.SecretKey:
     return mkrlwe.SecretKey(id=str(z["id"]), data=jnp.asarray(z["data"]))
 
 
+# Relin-key storage format version. fmt=2: b/d limbs are stored in NTT
+# domain in DOUBLE-Montgomery form (the round-4 key convention —
+# mkrlwe/keygen.py emits Montgomery-form aggregates so the per-mult
+# to_mont passes disappear). fmt=1 (pre-round-4, never stamped) stored
+# single-Montgomery b/d; loading such a checkpoint under the new
+# convention would produce garbage multiplications (ADVICE r4 #2).
+RELIN_FMT = 2
+
+
 def save_relin_key(path: str, rlk: mkrlwe.RelinearizationKey):
     np.savez_compressed(path, id=np.array(rlk.id), b=np.asarray(rlk.b),
-                        d=np.asarray(rlk.d), v=np.asarray(rlk.v))
+                        d=np.asarray(rlk.d), v=np.asarray(rlk.v),
+                        fmt=np.int64(RELIN_FMT))
 
 
 def load_relin_key(path: str) -> mkrlwe.RelinearizationKey:
     z = np.load(path, allow_pickle=False)
+    fmt = int(z["fmt"]) if "fmt" in z else 1
+    if fmt != RELIN_FMT:
+        raise ValueError(
+            f"relin key checkpoint {path!r} has format {fmt}, expected "
+            f"{RELIN_FMT}: it predates the double-Montgomery b/d key "
+            "convention and would decrypt to garbage if loaded; "
+            "regenerate it with KeyGenerator.gen_relinearization_key")
     return mkrlwe.RelinearizationKey(
         id=str(z["id"]), b=jnp.asarray(z["b"]), d=jnp.asarray(z["d"]),
         v=jnp.asarray(z["v"]))

@@ -100,11 +100,101 @@ def test_convolution_layer(ctx):
                     (c, i, j, out[slot], want[c, i, j])
 
 
+def _synthetic_model(layout, seed=5):
+    """Random weights at the layout's shapes, scaled so every activation
+    stays O(1) (keeps the CKKS scale budget comfortable)."""
+    r = np.random.default_rng(seed)
+    lo = layout
+    kernels = r.uniform(-1, 1, (lo.num_kernels, lo.ksize, lo.ksize)) \
+        / lo.ksize ** 2
+    n_in = lo.num_kernels * lo.conv_out ** 2
+    fc1 = r.uniform(-1, 1, (n_in, lo.fc_units)) / n_in
+    fc2 = r.uniform(-1, 1, (lo.fc_units, lo.classes)) / lo.fc_units
+    b1 = r.uniform(-0.5, 0.5, lo.fc_units)
+    b2 = r.uniform(-0.5, 0.5, lo.classes)
+    return kernels, fc1, fc2, b1, b2
+
+
+def test_cnn_mini_end_to_end_fused():
+    """Default-tier full pipeline (VERDICT r4 #4): conv -> square -> fc1
+    -> square -> fc2 through the SAME layer code as the MNIST model, at
+    the reduced MINI geometry (8x8 image, logN=11), evaluated via the
+    fused single-XLA-program path and asserted per-logit against the
+    plaintext forward pass; the staged pipeline must be bit-identical
+    to the fused one."""
+    lo = cnn.MINI
+    params = mkckks.new_parameters(
+        11, 10, q0_bits=28.9, level_bits=20.0, levels=7, scale=2.0 ** 40,
+        p_bits=28.4)
+    for rot in lo.extra_rots:
+        params = params.add_crs(rot)
+    kgen = mkrlwe.KeyGenerator(params.rlwe, seed=43)
+    sk_set = mkrlwe.SecretKeySet()
+    pk = mkrlwe.PublicKeySet()
+    rlk = mkrlwe.RelinearizationKeySet()
+    rtk = mkrlwe.RotationKeySet()
+    rots = list(lo.extra_rots) + [1 << i for i in range(params.logn - 1)]
+    for uid in ("dataOwner", "modelOwner"):
+        sk, p = kgen.gen_key_pair(uid)
+        sk_set.add(sk)
+        pk.add(p)
+        rlk.add(kgen.gen_relinearization_key(sk, kgen.gen_secret_key(uid)))
+        for rot in rots:
+            rtk.add(kgen.gen_rotation_key(rot, sk))
+    enc = mkckks.Encryptor(params, seed=44)
+    dec = mkckks.Decryptor(params)
+    ev = mkckks.Evaluator(params)
+
+    kernels, fc1, fc2, b1, b2 = _synthetic_model(lo)
+    img = rng.uniform(0, 1, (lo.image, lo.image))
+    slots = params.slots
+    assert slots == lo.slots
+
+    ct_img = enc.encrypt_msg(
+        mkckks.Message(value=cnn.pack_image(img, slots, lo)),
+        pk.get("dataOwner"))
+    ct_k = [enc.encrypt_msg(mkckks.Message(value=v),
+                            pk.get("modelOwner"))
+            for v in cnn.pack_kernels(kernels, slots, lo)]
+    ct_fc1 = [enc.encrypt_msg(mkckks.Message(value=v),
+                              pk.get("modelOwner"))
+              for v in cnn.pack_fc1(fc1, slots, lo)]
+    ct_fc2 = enc.encrypt_msg(
+        mkckks.Message(value=cnn.pack_fc2(fc2, slots, lo)),
+        pk.get("modelOwner"))
+    ct_b1 = enc.encrypt_msg(
+        mkckks.Message(value=cnn.pack_b1(b1, slots, lo)),
+        pk.get("modelOwner"))
+    ct_b2 = enc.encrypt_msg(
+        mkckks.Message(value=cnn.pack_b2(b2, slots, lo)),
+        pk.get("modelOwner"))
+    pt_mask = enc.encode_msg(
+        mkckks.Message(value=cnn.mask_vector(slots, lo)))
+
+    fn, args = cnn.build_fused_inference(
+        params, rlk, rtk, ct_img, ct_k, ct_fc1, ct_fc2, ct_b1, ct_b2,
+        pt_mask, layout=lo)
+    fused = fn(*args)
+
+    out = dec.decrypt(fused, sk_set).value
+    logits = np.real(out[:lo.classes])
+    want = cnn.plain_forward(img, kernels, fc1, fc2, b1, b2, lo)
+    np.testing.assert_allclose(logits, want, rtol=5e-3, atol=5e-3)
+
+    staged = cnn._pipeline(ev, rlk, rtk, ct_img, ct_k, ct_fc1, ct_fc2,
+                           ct_b1, ct_b2, pt_mask, params.scale, lo)
+    assert fused.scale == staged.scale
+    np.testing.assert_array_equal(np.asarray(fused.ct.data),
+                                  np.asarray(staged.ct.data))
+
+
 @pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
                     reason="logN=14 full pipeline, ~15 homomorphic mults "
                            "(minutes on CPU); run with RUN_SLOW=1 — the "
                            "driver bench covers it on TPU via "
-                           "benchmarks/bench_cnn.py")
+                           "benchmarks/bench_cnn.py; the default tier "
+                           "runs the same pipeline at MINI geometry "
+                           "(test_cnn_mini_end_to_end_fused)")
 def test_cnn_end_to_end(ctx):
     params, ev = ctx["params"], ctx["ev"]
     kernels, fc1, fc2, b1, b2 = cnn.load_weights()
