@@ -61,6 +61,8 @@ def _latest_headline_ms() -> float:
             with open(path) as f:
                 doc = json.load(f)
             doc = doc.get("parsed", doc)  # driver wraps the JSON line
+            if doc is None:   # a timed-out round records parsed: null
+                continue
             if "mkckks_mulrelin" in doc.get("metric", ""):
                 best = float(doc["value"])  # later rounds win
         except (OSError, ValueError, KeyError):
@@ -149,6 +151,26 @@ def report(path_name, counts, nshards, scale_f, note="", dcn=False):
         eff2 = T1_MS / (c * (t_comp + comm_ms + comm_dcn))
         print(f"  2-host DCN leg: +{comm_dcn:.3f} ms @ {BW_DCN_GBS:.1f} "
               f"GB/s -> projected cross-host efficiency {100*eff2:.1f}%")
+        # Sensitivity grid (VERDICT r4 #6): the single-point 75.5% claim
+        # is only as good as its assumptions, so vary all three — DCN
+        # bandwidth (degraded/nominal/good), a per-hop latency term (a
+        # ring all-reduce over H hosts takes 2(H-1) serialized hops),
+        # and the host count (ring all-reduce moves 2(H-1)/H x the
+        # aggregate bytes vs the 2-host single exchange).
+        print("  cross-host sensitivity (rows: hosts x DCN GB/s x "
+              "per-hop latency):")
+        print(f"    {'hosts':>5s} {'GB/s':>6s} {'lat_us':>7s} "
+              f"{'comm_ms':>8s} {'eff':>6s}")
+        for hosts in (2, 4):
+            bfac = 2.0 * (hosts - 1) / hosts / 1.0  # vs 1.0 at 2 hosts
+            bfac /= 2.0 * (2 - 1) / 2
+            for bw in (6.25, 12.5, 25.0):
+                for lat_us in (0.0, 25.0, 100.0):
+                    cms = total * bfac / (bw * 1e9) * 1e3 \
+                        + 2 * (hosts - 1) * lat_us * 1e-3
+                    e = T1_MS / (c * (t_comp + comm_ms + cms))
+                    print(f"    {hosts:5d} {bw:6.2f} {lat_us:7.0f} "
+                          f"{cms:8.3f} {100*e:5.1f}%")
     return path_name, total, comm_ms, eff
 
 

@@ -104,7 +104,7 @@ def external_product_ntt(params: Parameters, digits: jax.Array,
     digits (..., beta, Lqp, N) plain NTT values; swk Montgomery NTT.
     Canonically reduced, or — lazy=True — LAZY: bounded by
     q + beta*q/2 for < 4q digits (fits u32; exact mod q). Lazy consumers
-    (mod_down_qp's iNTT with reduce_input, mont_mul) accept any u32;
+    (mod_down_qp's iNTT with reduce_input [< 8q], mont_mul) accept them;
     do NOT add two lazy results assuming 2q headroom."""
     ring_qp = params.ring_qp_at(level)
     r = _reduce_qp(_accum_digits(digits, swk), ring_qp)
@@ -161,9 +161,9 @@ def _aggregate_keys(params: Parameters, digits: jax.Array, keys: jax.Array,
 def _sum_parties_ntt(params: Parameters, digits: jax.Array, swks: jax.Array,
                      level: int, lazy: bool = False) -> jax.Array:
     """sum_k sum_b digits[k, b] * swk[k, b] reduced over QP, NTT domain;
-    canonical, or — lazy=True and one accumulation chunk suffices — LAZY:
-    bounded by q + k*beta*q/2 (fits u32, exact mod q; consumers like
-    mod_down_qp's reduce_input iNTT absorb any u32).
+    canonical, or — lazy=True, one accumulation chunk, and
+    k*beta <= 56 — LAZY: bounded by q*(1 + k*beta/8) <= 8q (exact mod
+    q; consumers like mod_down_qp's reduce_input iNTT absorb < 8q).
     digits (..., k, beta, Lqp, N), swks broadcastable.
 
     Accumulates the whole k x beta product sum in one 64-bit chain with a
@@ -186,18 +186,15 @@ def _sum_parties_ntt(params: Parameters, digits: jax.Array, swks: jax.Array,
                     acc, digits[..., i, b_, :, :], swks[..., i, b_, :, :])
         r = _reduce_qp(acc, ring_qp)        # < q + n_prod*q/8 (lazy)
         # Lazy single-chunk return only when the worst-case bound
-        # q*(1 + n_prod/8) provably fits uint32 (the consumers —
-        # mod_down_qp's reduce_input forward-twist iNTT — absorb any
-        # u32, so the value itself is the only constraint): at the
+        # q*(1 + n_prod/8) stays within the iNTT input contract (< 8q,
+        # see Ring.intt reduce_input), i.e. n_prod <= 56. At the
         # boundary (beta=16, k=4 -> n_prod=64) the bound is 9q, which
-        # wraps for primes in (2^28.83, 2^29) that ntt_primes allows
-        # (ADVICE r4 #4). The flagship presets (n_prod <= 56,
-        # q <= 2^28.9 -> 8q < 2^32) keep the lazy fast path.
-        if lazy and k <= per_chunk:
-            n_prod = (c1 - c0) * beta
-            q_max = max(ring_qp.moduli)   # static metadata, trace-safe
-            if q_max * (8 + n_prod) // 8 <= (1 << 32) - 1:
-                return r
+        # wraps uint32 for primes in (2^28.83, 2^29) that ntt_primes
+        # allows (ADVICE r4 #4) — those fall through to the canonical
+        # reduction. The flagship presets (n_prod = 4*14 = 56) keep the
+        # lazy fast path.
+        if lazy and k <= per_chunk and (c1 - c0) * beta <= 56:
+            return r
         r = ring_qp.reduce(r)
         out = r if out is None else ring_qp.add(out, r)
     return out

@@ -397,7 +397,14 @@ class Ring:
         return a
 
     def intt(self, a, reduce_input: bool = False):
-        """Inverse negacyclic NTT (bit-reversed in, standard out)."""
+        """Inverse negacyclic NTT (bit-reversed in, standard out).
+
+        reduce_input: inputs may be LAZY in [0, 8q) — the bound every
+        lazy producer in the keyswitch pipeline guarantees (see
+        _sum_parties_ntt's n_prod <= 56 gate). The Pallas kernel absorbs
+        them with one csub (ntt_pallas._inv_kernel); this jnp path
+        Barrett-reduces (a superset of the contract), so outputs are
+        identical either way (both end canonical, exact mod q)."""
         if self.dist is not None:
             from ..parallel import dist_ntt
             return dist_ntt.ntt_in_shard(self, a, *self.dist,

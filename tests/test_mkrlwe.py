@@ -16,9 +16,24 @@ from mkhe_tpu.utils import crt
 LOGN = 9
 SIGMA = 3.2
 
+_flagship = pytest.param(
+    "flagship",
+    marks=pytest.mark.skipif(
+        not __import__("os").environ.get("RUN_SLOW"),
+        reason="logN=14 flagship-scale property runs (minutes on CPU); "
+               "RUN_SLOW=1 reruns every identity in this module at the "
+               "reference's default test scale (mkrlwe_test.go:39) — "
+               "VERDICT r4 #9"))
 
-@pytest.fixture(scope="module")
-def params():
+
+@pytest.fixture(scope="module", params=["default", _flagship])
+def params(request):
+    if request.param == "flagship":
+        # the reference's logN=14 default test shape: a full flagship
+        # limb ladder (28 q limbs) + 4 P limbs, same sigma
+        q = ntt_primes(14, 27.0, 28)
+        p = ntt_primes(14, 28.4, 4)
+        return mkrlwe.new_parameters(14, q, p, gamma=2, sigma=SIGMA)
     q = ntt_primes(LOGN, 28.6, 6)
     p = ntt_primes(LOGN, 28.9, 2)
     return mkrlwe.new_parameters(LOGN, q, p, gamma=2, sigma=SIGMA)
@@ -84,7 +99,7 @@ def test_relin_key_identities(params, kgen):
     u = params.crs[-1][:beta]
     sg = kgen.gen_switching_key(s).data
     rg = kgen.gen_switching_key(r).data
-    bound = (6 + LOGN)  # reference uses 5+logN with sigma-sized residuals;
+    bound = (6 + params.logn)  # reference uses 5+logN with sigma-sized residuals;
     # our residuals include two independent gaussians (swk resampled) -> +1
 
     def check(resid):
@@ -114,7 +129,7 @@ def test_encrypt_decrypt_noise(params, kgen):
     sk_set.add(sk)
     ct = enc.encrypt(None, pk)  # encryption of zero
     pt = dec.decrypt(ct, sk_set)
-    assert _inner_sum_log2(np.asarray(pt), params.q_moduli) <= 9 + LOGN
+    assert _inner_sum_log2(np.asarray(pt), params.q_moduli) <= 9 + params.logn
 
 
 def test_two_party_decrypt(params, kgen):
@@ -134,7 +149,7 @@ def test_two_party_decrypt(params, kgen):
                       ct1.data[1], ct2.data[1]])
     ct = mkrlwe.Ciphertext(ids=("user1", "user2"), data=data)
     pt = dec.decrypt(ct, sk_set)
-    assert _inner_sum_log2(np.asarray(pt), params.q_moduli) <= 10 + LOGN
+    assert _inner_sum_log2(np.asarray(pt), params.q_moduli) <= 10 + params.logn
 
 
 def test_external_product(params, kgen):
@@ -151,7 +166,7 @@ def test_external_product(params, kgen):
     want = ring.intt(ring.mul_mont(ring.ntt(ct.data[0]),
                                    sk.data[:level + 1]))
     resid = np.asarray(ring.sub(got, want))
-    assert _inner_sum_log2(resid, params.q_moduli) <= 10 + LOGN
+    assert _inner_sum_log2(resid, params.q_moduli) <= 10 + params.logn
 
 
 
@@ -171,7 +186,7 @@ def test_external_product_low_level(params, kgen):
     want = ring.intt(ring.mul_mont(ring.ntt(ct.data[0]),
                                    sk.data[:level + 1]))
     resid = np.asarray(ring.sub(got, want))
-    assert _inner_sum_log2(resid, params.q_moduli[:level + 1]) <= 10 + LOGN
+    assert _inner_sum_log2(resid, params.q_moduli[:level + 1]) <= 10 + params.logn
 
 
 def test_sparse_and_gaussian_secrets(params, kgen):
@@ -186,7 +201,7 @@ def test_sparse_and_gaussian_secrets(params, kgen):
         sk_set.add(sk)
         ct = enc.encrypt(None, pk)
         pt = dec.decrypt(ct, sk_set)
-        assert _inner_sum_log2(np.asarray(pt), params.q_moduli) <= 11 + LOGN
+        assert _inner_sum_log2(np.asarray(pt), params.q_moduli) <= 11 + params.logn
 
 
 def test_pad_ciphertext_and_idset(params):
@@ -247,4 +262,4 @@ def test_encrypt_domains(params, kgen):
         np.testing.assert_array_equal(o, outs[0])
     # and the decryption equals the plaintext up to fresh noise
     diff = ring.sub(jnp.asarray(outs[0]), pt)
-    assert _inner_sum_log2(np.asarray(diff), params.q_moduli) <= 9 + LOGN
+    assert _inner_sum_log2(np.asarray(diff), params.q_moduli) <= 9 + params.logn

