@@ -161,8 +161,12 @@ def test_party_sharded_mul_hoisted(ctx):
     h1 = ksw.hoisted_form(params.rlwe, ct1.ct)
     ref = ksw.mul_and_relin(params.rlwe, ct0.ct, ct1.ct, (b, d, v),
                             ct0.level, h0=h0, h1=h1)
+    # 2-device mesh: 2 parties per shard — the multi-party-per-shard
+    # layout (k_loc > 1), which the 8-party/8-device distinct test does
+    # not cover; also roughly halves this test's shard_map compile time.
     out = mul_and_relin_party_sharded(params.rlwe, ct0.ct, (b, d, v),
-                                      ctx["mesh"], ct1=ct1.ct, h0=h0, h1=h1)
+                                      ctx["mesh2"], ct1=ct1.ct, h0=h0,
+                                      h1=h1)
     np.testing.assert_array_equal(np.asarray(out.data),
                                   np.asarray(ref.data))
 
