@@ -8,6 +8,7 @@ from jax.sharding import Mesh
 
 from mkhe_tpu import mkrlwe, mkckks
 from mkhe_tpu.mkrlwe import keyswitch as ksw
+from mkhe_tpu.mkckks.evaluator import _mul_relin_core
 from mkhe_tpu.parallel import coeff_mul
 
 rng = np.random.default_rng(9)
@@ -54,7 +55,9 @@ def test_coeff_sharded_mult_bit_identical(ctx, ndev):
     stacked = ctx["rlk"].stacked(ids)
     level = ct0.level
 
-    want = ksw.mul_and_relin(params.rlwe, ct0.ct, ct1.ct, stacked, level)
+    b, d, v = stacked
+    want = _mul_relin_core(params.rlwe, ct0.ct, ct1.ct, b, d, v, level,
+                           None, None, False, False)
 
     mesh = Mesh(np.array(jax.devices()[:ndev]).reshape(ndev), ("coeff",))
     got = coeff_mul.mul_and_relin_sharded(
@@ -79,7 +82,9 @@ def test_coeff_sharded_mult_lower_level(ctx):
     level = ct0.level
     stacked = ctx["rlk"].stacked(("alice", "bob"))
 
-    want = ksw.mul_and_relin(params.rlwe, ct0.ct, ct1.ct, stacked, level)
+    b, d, v = stacked
+    want = _mul_relin_core(params.rlwe, ct0.ct, ct1.ct, b, d, v, level,
+                           None, None, False, False)
     mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("coeff",))
     got = coeff_mul.mul_and_relin_sharded(
         params.rlwe, ct0.ct, ct1.ct, stacked, level, mesh)

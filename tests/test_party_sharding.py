@@ -4,13 +4,25 @@ square, distinct-operand, hoisted-operand, id-set union, and rotate.
 Reference shapes: mkrlwe/keyswitch.go:122-230,234-298 and
 keyswitch_hoisted.go:44-179,183-247 under the party axis."""
 
+import jax
 import numpy as np
 import pytest
 
 from mkhe_tpu import mkrlwe, mkckks, parallel
 from mkhe_tpu.mkrlwe import keyswitch as ksw
+from mkhe_tpu.mkckks.evaluator import _mul_relin_core, _rotate_core
 from mkhe_tpu.parallel.party_mul import (mul_and_relin_party_sharded,
                                          rotate_party_sharded)
+
+
+def _ref_mul(rp, c0, c1, bdv, level, h0=None, h1=None, square=False):
+    """Single-device reference mult through the evaluator's jitted core:
+    ONE compiled (and persistently cached) graph instead of hundreds of
+    eager per-op dispatches — the eager path cost ~30 s per test at
+    k=8 on the CPU tier."""
+    b, d, v = bdv
+    return _mul_relin_core(rp, c0, c1, b, d, v, level, h0, h1,
+                           h0 is not None, h1 is not None, square)
 
 
 @pytest.fixture(scope="module")
@@ -76,8 +88,8 @@ def test_party_sharded_mul_square(ctx):
     params = ctx["params"]
     ct, msg = _sum_ct(ctx, ctx["users"])
     b, d, v = ctx["rlk"].stacked(ct.ids)
-    ref = ksw.mul_and_relin(params.rlwe, ct.ct, ct.ct, (b, d, v),
-                            ct.level, square=True)
+    ref = _ref_mul(params.rlwe, ct.ct, ct.ct, (b, d, v), ct.level,
+                   square=True)
     out = mul_and_relin_party_sharded(params.rlwe, ct.ct, (b, d, v),
                                       ctx["mesh"])
     np.testing.assert_array_equal(np.asarray(out.data),
@@ -104,8 +116,7 @@ def test_party_sharded_mul_distinct(ctx):
     ct0, _ = _sum_ct(ctx, ctx["users"])
     ct1, _ = _sum_ct(ctx, ctx["users"], sign=True)
     b, d, v = ctx["rlk"].stacked(ct0.ids)
-    ref = ksw.mul_and_relin(params.rlwe, ct0.ct, ct1.ct, (b, d, v),
-                            ct0.level)
+    ref = _ref_mul(params.rlwe, ct0.ct, ct1.ct, (b, d, v), ct0.level)
     out = mul_and_relin_party_sharded(params.rlwe, ct0.ct, (b, d, v),
                                       ctx["mesh"], ct1=ct1.ct)
     np.testing.assert_array_equal(np.asarray(out.data),
@@ -137,8 +148,7 @@ def test_party_sharded_mul_distinct_8party(ctx):
         ct0 = c if ct0 is None else ev.add_new(ct0, c)
         ct1 = c if ct1 is None else ev.sub_new(ct1, c)
     b, d, v = rlk.stacked(ct0.ids)
-    ref = ksw.mul_and_relin(params.rlwe, ct0.ct, ct1.ct, (b, d, v),
-                            ct0.level)
+    ref = _ref_mul(params.rlwe, ct0.ct, ct1.ct, (b, d, v), ct0.level)
     import jax
     from jax.sharding import Mesh
     from jax.experimental import mesh_utils
@@ -157,10 +167,11 @@ def test_party_sharded_mul_hoisted(ctx):
     ct0, _ = _sum_ct(ctx, ctx["users"])
     ct1, _ = _sum_ct(ctx, ctx["users"], sign=True)
     b, d, v = ctx["rlk"].stacked(ct0.ids)
-    h0 = ksw.hoisted_form(params.rlwe, ct0.ct)
-    h1 = ksw.hoisted_form(params.rlwe, ct1.ct)
-    ref = ksw.mul_and_relin(params.rlwe, ct0.ct, ct1.ct, (b, d, v),
-                            ct0.level, h0=h0, h1=h1)
+    hoist = jax.jit(lambda c: ksw.hoisted_form(params.rlwe, c))
+    h0 = hoist(ct0.ct)
+    h1 = hoist(ct1.ct)
+    ref = _ref_mul(params.rlwe, ct0.ct, ct1.ct, (b, d, v), ct0.level,
+                   h0=h0, h1=h1)
     # 2-device mesh: 2 parties per shard — the multi-party-per-shard
     # layout (k_loc > 1), which the 8-party/8-device distinct test does
     # not cover; also roughly halves this test's shard_map compile time.
@@ -184,8 +195,7 @@ def test_party_sharded_mul_union(ctx):
     from mkhe_tpu.mkrlwe.elements import union_ids
     ids = union_ids(ct0.ct.ids, ct1.ct.ids)
     b, d, v = ctx["rlk"].stacked(ids)
-    ref = ksw.mul_and_relin(params.rlwe, ct0.ct, ct1.ct, (b, d, v),
-                            ct0.level)
+    ref = _ref_mul(params.rlwe, ct0.ct, ct1.ct, (b, d, v), ct0.level)
     out = mul_and_relin_party_sharded(params.rlwe, ct0.ct, (b, d, v),
                                       ctx["mesh"], ct1=ct1.ct)
     assert out.ids == ref.ids
@@ -198,8 +208,12 @@ def test_party_sharded_rotate(ctx, hoisted):
     params = ctx["params"]
     ct, _ = _sum_ct(ctx, ctx["users"])
     rtk = ctx["rtk"].stacked(ct.ids, 2)
-    h = ksw.hoisted_form(params.rlwe, ct.ct) if hoisted else None
-    ref = ksw.rotate(params.rlwe, ct.ct, 2, rtk, h=h)
+    h = (jax.jit(lambda c: ksw.hoisted_form(params.rlwe, c))(ct.ct)
+         if hoisted else None)
+    a_crs = params.rlwe.crs_at(2, ct.level)
+    src, sign = ksw.rotation_tables(params.rlwe, 2)
+    ref = _rotate_core(params.rlwe, ct.ct, rtk, a_crs, src, sign, h,
+                       h is not None)
     out = rotate_party_sharded(params.rlwe, ct.ct, 2, rtk, ctx["mesh"],
                                h=h)
     np.testing.assert_array_equal(np.asarray(out.data),
