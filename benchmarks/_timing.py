@@ -21,17 +21,28 @@ import jax
 import jax.numpy as jnp
 
 
-def slope_time_ms(run_k, k1: int, k2: int) -> float:
-    """run_k(k) -> jax array; per-iteration ms via the (k1, k2) slope."""
+def slope_time_ms(run_k, k1: int, k2: int, repeats: int = 5) -> float:
+    """run_k(k) -> jax array; per-iteration ms via the (k1, k2) slope
+    of the SEPARATE minima: (min tk - min t1) / (k2 - k1).
+
+    Relay/host scheduling noise is one-sided (it only ADDS to the device
+    time), so min-over-repeats of each measurement recovers each graph's
+    clean device time; differencing the minima gives an unbiased slope.
+    A min over PAIRED slopes instead biases low (it prefers a slow t1
+    paired with a fast tk — measured: 0.0-6.8 ms artifacts on small
+    graphs), and a median inherits the congestion tail (measured: the
+    BFV logN=15 row swung 17 -> 27 ms under load)."""
     _ = int(np.asarray(run_k(k1)).ravel()[0])  # compile (shared for k2)
     _ = int(np.asarray(run_k(k2)).ravel()[0])
-    t0 = time.perf_counter()
-    _ = int(np.asarray(run_k(k1)).ravel()[0])
-    t1 = (time.perf_counter() - t0) * 1e3
-    t0 = time.perf_counter()
-    _ = int(np.asarray(run_k(k2)).ravel()[0])
-    tk = (time.perf_counter() - t0) * 1e3
-    return max((tk - t1) / (k2 - k1), 1e-6)
+    t1s, tks = [], []
+    for _i in range(repeats):
+        t0 = time.perf_counter()
+        _ = int(np.asarray(run_k(k1)).ravel()[0])
+        t1s.append((time.perf_counter() - t0) * 1e3)
+        t0 = time.perf_counter()
+        _ = int(np.asarray(run_k(k2)).ravel()[0])
+        tks.append((time.perf_counter() - t0) * 1e3)
+    return max((min(tks) - min(t1s)) / (k2 - k1), 1e-6)
 
 
 def _looped(step):

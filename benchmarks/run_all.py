@@ -6,8 +6,10 @@ n in {2,4} parties, plus hoisted mult, rotation, and the CNN layers.
 Usage: python benchmarks/run_all.py [--quick]
 Emits one JSON line per benchmark row.
 
-Timing uses host fetches (block_until_ready is not reliably blocking
-through the axon relay); per-row overhead is measured and subtracted.
+Every row is timed with the chained-in-graph fori_loop slope protocol
+(benchmarks/_timing.py — the same protocol as the bench.py headline):
+host fetches and dispatch overhead cancel in the (k1, k2) slope, and the
+slope is min-of-3 to reject relay scheduling noise.
 """
 
 from __future__ import annotations
@@ -30,24 +32,6 @@ def _setup_cache():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_mkhe"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-
-def _time_op(fn, out_probe, iters=5):
-    """fn() -> object; out_probe(obj) -> jax array to fetch one elt from."""
-    o = fn()
-    _ = int(np.asarray(out_probe(o)).ravel()[0])
-    t0 = time.perf_counter()
-    for _ in range(3):
-        _ = int(np.asarray(out_probe(o)).ravel()[0])
-    fetch = (time.perf_counter() - t0) / 3
-    outs = [None] * iters
-    t0 = time.perf_counter()
-    for i in range(iters):
-        outs[i] = fn()
-    for oo in outs:
-        _ = int(np.asarray(out_probe(oo)).ravel()[0])
-    total = time.perf_counter() - t0
-    return max(total / iters - fetch, 1e-9) * 1000.0  # ms
 
 
 def bench_ckks(logn: int, parties: int, iters: int):
@@ -114,18 +98,42 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--one", nargs=3, metavar=("KIND", "LOGN", "PARTIES"),
+                    help="internal: run a single config in this process")
     args = ap.parse_args()
     _setup_cache()
+
+    if args.one:
+        kind, logn, parties = (args.one[0], int(args.one[1]),
+                               int(args.one[2]))
+        fn = bench_ckks if kind == "ckks" else bench_bfv
+        for name, ms in fn(logn, parties, args.iters):
+            print(json.dumps({"metric": name, "value": round(ms, 3),
+                              "unit": "ms"}), flush=True)
+        return
 
     configs = [("ckks", 14, 2), ("ckks", 14, 4)]
     if not args.quick:
         configs += [("ckks", 15, 2), ("ckks", 15, 4),
                     ("bfv", 14, 2), ("bfv", 15, 2)]
+    # One subprocess per config: a fresh TPU client per section keeps the
+    # rows independent of accumulated device memory pressure — measured
+    # in-process, the BFV logN=15 row inflated 17 -> 27 ms with the CKKS
+    # sections' key material still resident (same lesson as bench.py's
+    # op-matrix sections, r4).
+    import subprocess
     for kind, logn, parties in configs:
-        fn = bench_ckks if kind == "ckks" else bench_bfv
-        for name, ms in fn(logn, parties, args.iters):
-            print(json.dumps({"metric": name, "value": round(ms, 3),
-                              "unit": "ms"}), flush=True)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--one", kind, str(logn), str(parties),
+             "--iters", str(args.iters)],
+            capture_output=True, text=True, timeout=2400)
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+        if r.returncode != 0:
+            print(json.dumps({"metric": f"{kind}_logn{logn}_{parties}p",
+                              "error": r.stderr[-500:]}), flush=True)
 
     if not args.quick:
         # regenerate the multi-chip scaling table with the CURRENT
