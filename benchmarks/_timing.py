@@ -3,11 +3,16 @@
 The axon relay makes per-dispatch timing unreliable (block_until_ready is
 not honest, host fetches cost ~65 ms round trips), so every benchmark row
 runs the op inside a jax.lax.fori_loop with a *dynamic* trip count k,
-chained through a genuine data dependency (XOR of one output word into
-the next input — costs are data-independent, so timing is
-representative). One compile serves every k; the reported time is the
-slope (t_k2 - t_k1) / (k2 - k1), which cancels dispatch/fetch overhead
-and amortizes measurement noise over many iterations.
+chained through a genuine data dependency: the SUM over the ENTIRE output
+XORed into the next input. The sum (one cheap pass) makes every element
+of every iteration feed the next, so XLA cannot slice intermediate
+iterations down to the one element a scalar feedback would expose —
+scalar feedback under-counted the BFV logN=15 mult 27.6 -> 17 ms
+(sum-feedback reference: benchmarks/bfv_sum_probe.py; the CKKS headline
+was unaffected, 24.5 both ways, but sum feedback makes it provable).
+Costs are data-independent, so timing is representative. One compile
+serves every k; the reported time is the slope (t_k2 - t_k1)/(k2 - k1),
+which cancels dispatch/fetch overhead.
 """
 
 from __future__ import annotations
@@ -71,7 +76,7 @@ def chained_ckks_mul_ms(params, ct, rlk_set, k1: int = 2, k2: int = 20
         out = ksw.mul_and_relin(rp, c, c, (b, d, v), level, square=True)
         res = basis.div_round_by_last_moduli(
             out.data, rp.ring_q_at(level), 2)
-        return data0 ^ res[0, 0, 0]
+        return data0 ^ jnp.sum(res, dtype=jnp.uint32)
 
     run = _looped(step)
     return slope_time_ms(lambda k: run(data0, k, b, d, v), k1, k2)
@@ -99,7 +104,7 @@ def chained_ckks_mul_batched_ms(params, ct, rlk_set, batch: int,
             return basis.div_round_by_last_moduli(
                 out.data, rp.ring_q_at(level), 2)
         res = jax.vmap(one)(cur)
-        return data0 ^ res[0, 0, 0, 0]
+        return data0 ^ jnp.sum(res, dtype=jnp.uint32)
 
     run = _looped(step)
     return slope_time_ms(lambda k: run(data0, k, b, d, v), k1, k2)
@@ -138,7 +143,7 @@ def chained_bfv_mul_ms(params, ct, rlk_set, k1: int = 2, k2: int = 10
         c1r = dataclasses.replace(
             ct, data=bfv_basis.rescale_q_to_r(params, cur))
         out = bfv_ksw.mul_and_relin_bfv(params, c0r, c1r, (b, d, v))
-        return data0 ^ out.data[0, 0, 0]
+        return data0 ^ jnp.sum(out.data, dtype=jnp.uint32)
 
     run = _looped(step)
     return slope_time_ms(lambda k: run(data0, k, b, d, v), k1, k2)
